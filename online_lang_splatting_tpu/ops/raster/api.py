@@ -1,0 +1,127 @@
+"""Public differentiable rasterization API.
+
+The functional analogue of the reference's `GaussianRasterizer` /
+`LanguageGaussianRasterizer` modules (/root/reference/submodules/
+diff-gaussian-rasterization/diff_gaussian_rasterization/__init__.py:405-576).
+Inputs are post-activation Gaussian parameters; camera-pose gradients come
+from the `cam_rot_delta`/`cam_trans_delta` perturbation (the reference's
+theta/rho) which re-derives the view and full-projection matrices through
+`lie.se3_exp` inside the traced function.
+
+Backends:
+  "oracle" — dense pure-JAX compositor (exact, O(P·H·W); parity tests).
+  "tpu"    — tile-binned Pallas pipeline (production path).
+  "auto"   — tpu when available, oracle otherwise for tiny inputs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import lie
+from . import config as C
+from .oracle import blend_oracle
+from .preprocess import preprocess
+
+
+class RasterSettings(NamedTuple):
+    """Static (hashable) rasterization configuration."""
+
+    image_height: int
+    image_width: int
+    tanfovx: float
+    tanfovy: float
+    sh_degree: int = 3
+    scale_modifier: float = 1.0
+    tile: int = C.DEFAULT_TILE
+    backend: str = "auto"
+    # Capacity knobs for the tiled backend (instances = Gaussian×tile dups).
+    max_instances: int | None = None
+
+
+class RasterOutput(NamedTuple):
+    color: jax.Array       # (3, H, W)
+    language: jax.Array    # (F, H, W)
+    depth: jax.Array       # (1, H, W)
+    opacity: jax.Array     # (1, H, W)
+    radii: jax.Array       # (P,) int32
+    n_touched: jax.Array   # (P,) int32
+    final_t: jax.Array     # (H, W)
+
+
+def rasterize(
+    means3d: jax.Array,
+    opacities: jax.Array,
+    scales: jax.Array,
+    quats: jax.Array,
+    *,
+    viewmatrix: jax.Array,
+    projmatrix: jax.Array,
+    settings: RasterSettings,
+    shs: jax.Array | None = None,
+    colors_precomp: jax.Array | None = None,
+    cov3d_precomp: jax.Array | None = None,
+    language_features: jax.Array | None = None,
+    bg: jax.Array | None = None,
+    cam_trans_delta: jax.Array | None = None,
+    cam_rot_delta: jax.Array | None = None,
+) -> RasterOutput:
+    """Differentiable splat render.
+
+    viewmatrix: (4,4) W2C. projmatrix: (4,4) intrinsics projection P (the
+    reference's `projmatrix_raw`); the full transform P @ W2C is formed
+    here so pose perturbations flow through it.
+    """
+    dtype = means3d.dtype
+    if bg is None:
+        bg = jnp.zeros((3,), dtype)
+    if cam_trans_delta is not None or cam_rot_delta is not None:
+        rho = cam_trans_delta if cam_trans_delta is not None else jnp.zeros(3, dtype)
+        theta = cam_rot_delta if cam_rot_delta is not None else jnp.zeros(3, dtype)
+        tau = jnp.concatenate([rho, theta])
+        viewmatrix = lie.se3_exp(tau) @ viewmatrix
+    full_proj = projmatrix @ viewmatrix
+    # Reference camera center: inverse W2C translation, constant w.r.t. pose
+    # deltas (the CUDA backward carries no campos term).
+    w2c0 = jax.lax.stop_gradient(viewmatrix)
+    campos = -w2c0[:3, :3].T @ w2c0[:3, 3]
+
+    prep = preprocess(
+        means3d, scales, quats, opacities,
+        viewmatrix, full_proj, campos,
+        shs=shs, colors_precomp=colors_precomp, cov3d_precomp=cov3d_precomp,
+        sh_degree=settings.sh_degree, scale_modifier=settings.scale_modifier,
+        width=settings.image_width, height=settings.image_height,
+        tan_fovx=settings.tanfovx, tan_fovy=settings.tanfovy,
+        tile=settings.tile,
+    )
+
+    backend = settings.backend
+    if backend == "auto":
+        backend = "tpu"
+    if backend == "oracle":
+        out = blend_oracle(
+            prep, language_features, bg,
+            width=settings.image_width, height=settings.image_height,
+            tile=settings.tile,
+        )
+    else:
+        from .tiled import blend_tiled
+
+        out = blend_tiled(
+            prep, language_features, bg,
+            width=settings.image_width, height=settings.image_height,
+            tile=settings.tile, max_instances=settings.max_instances,
+        )
+    return RasterOutput(
+        color=out.color,
+        language=out.language,
+        depth=out.depth,
+        opacity=out.opacity,
+        radii=prep.radius,
+        n_touched=out.n_touched,
+        final_t=out.final_t,
+    )

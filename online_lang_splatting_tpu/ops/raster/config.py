@@ -1,0 +1,22 @@
+"""Compile-time constants of the splatting pipeline.
+
+Reference values: NUM_LANGUAGE_CHANNELS 15, BLOCK_X=BLOCK_Y=15 in the
+primary engine (/root/reference/submodules/diff-gaussian-rasterization/
+cuda_rasterizer/config.h:15-18); the disentangle-optim variant uses 3
+language channels and 16x16 tiles. Here tile size is a runtime parameter
+of the op (it defines the rect-culling granularity and therefore the
+exact output); the kernels pad the pixel block up to TPU-friendly shapes
+internally, so any tile size is supported with identical semantics.
+"""
+
+NUM_COLOR_CHANNELS = 3
+DEFAULT_LANGUAGE_CHANNELS = 15
+DEFAULT_TILE = 16  # TPU-preferred; set 15 to bit-match the reference engine.
+
+# Blend-loop numerics (forward.cu:464-485).
+ALPHA_MAX = 0.99
+ALPHA_MIN = 1.0 / 255.0
+T_EPS = 1e-4
+NEAR_CLIP = 0.2
+LOWPASS = 0.3
+N_TOUCHED_T = 0.5
