@@ -1,0 +1,120 @@
+"""ConvNeXt-L CLIP visual tower with dense pyramid output — Flax/NHWC.
+
+Re-implements the behavior of the reference's modified open_clip TimmModel
+dense forward (/root/reference/language/sed/open_clip/src/open_clip/
+timm_model.py:125-146): stem + 4 ConvNeXt stages emit {stem, res2..res5},
+then the CLIP projection head (trunk LayerNorm → Linear 1536→1536 → GELU →
+Linear 1536→768) is applied **per spatial location** of the os32 feature
+map, yielding `clip_vis_dense` (24×24×768 for a 768² input).
+
+Architecture constants are ConvNeXt-Large (timm `convnext_large`):
+depths (3, 3, 27, 3), dims (192, 384, 768, 1536), LayerNorm eps 1e-6,
+layer-scale gamma, exact (erf) GELU. Everything runs in NHWC so XLA maps
+convolutions straight onto the MXU; weights ported from the reference
+checkpoint via tools/convert_weights.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+DEPTHS = (3, 3, 27, 3)
+DIMS = (192, 384, 768, 1536)
+EMBED_DIM = 768
+
+# SED/CLIP preprocessing constants (reference language/sed/config.py:67-68;
+# RGB order, 0-255 inputs).
+CLIP_PIXEL_MEAN = (122.7709383, 116.7460125, 104.09373615)
+CLIP_PIXEL_STD = (68.5005327, 66.6321579, 70.3231630)
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class LayerNorm(nn.Module):
+    """Channel-last LayerNorm, eps 1e-6 (timm ConvNeXt convention)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=1e-6, name="ln")(x)
+
+
+class ConvNeXtBlock(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(
+            self.dim, (7, 7), padding=3, feature_group_count=self.dim,
+            name="dwconv",
+        )(x)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm")(y)
+        y = nn.Dense(4 * self.dim, name="mlp_fc1")(y)
+        y = _gelu(y)
+        y = nn.Dense(self.dim, name="mlp_fc2")(y)
+        gamma = self.param("gamma", nn.initializers.constant(1e-6), (self.dim,))
+        return x + gamma * y
+
+
+class ConvNeXtStage(nn.Module):
+    dim: int
+    depth: int
+    downsample: bool
+
+    @nn.compact
+    def __call__(self, x):
+        if self.downsample:
+            x = nn.LayerNorm(epsilon=1e-6, name="ds_norm")(x)
+            x = nn.Conv(self.dim, (2, 2), strides=2, padding="VALID", name="ds_conv")(x)
+        for i in range(self.depth):
+            x = ConvNeXtBlock(self.dim, name=f"block{i}")(x)
+        return x
+
+
+class ConvNeXtCLIPVisual(nn.Module):
+    """Dense visual tower. Input: (N, H, W, 3), already normalized.
+
+    Returns dict with NHWC feature maps:
+      stem (os4), res2 (os4), res3 (os8), res4 (os16), res5 (os32),
+      clip_vis_dense (os32, EMBED_DIM channels).
+    """
+
+    depths: Sequence[int] = DEPTHS
+    dims: Sequence[int] = DIMS
+    embed_dim: int = EMBED_DIM
+
+    @nn.compact
+    def __call__(self, x):
+        out = {}
+        x = nn.Conv(self.dims[0], (4, 4), strides=4, padding="VALID", name="stem_conv")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="stem_norm")(x)
+        out["stem"] = x
+        for i, (dim, depth) in enumerate(zip(self.dims, self.depths)):
+            x = ConvNeXtStage(dim, depth, downsample=i > 0, name=f"stage{i}")(x)
+            out[f"res{i + 2}"] = x
+        # Per-location CLIP projection head (norm_pre is Identity for
+        # convnext_large; the trunk head LayerNorm comes first).
+        y = nn.LayerNorm(epsilon=1e-6, name="head_norm")(x)
+        y = nn.Dense(2 * self.embed_dim, name="head_fc1")(y)
+        y = _gelu(y)
+        y = nn.Dense(self.embed_dim, use_bias=False, name="head_fc2")(y)
+        out["clip_vis_dense"] = y
+        return out
+
+
+def normalize_image(rgb_0_255: jax.Array) -> jax.Array:
+    """(..., 3) RGB in [0, 255] → CLIP-normalized (SED convention)."""
+    mean = jnp.asarray(CLIP_PIXEL_MEAN, rgb_0_255.dtype)
+    std = jnp.asarray(CLIP_PIXEL_STD, rgb_0_255.dtype)
+    return (rgb_0_255 - mean) / std
+
+
+def resize_bilinear(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """NHWC bilinear resize matching torch F.interpolate(align_corners=False)."""
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, size[0], size[1], c), method="bilinear")

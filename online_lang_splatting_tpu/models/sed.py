@@ -1,0 +1,139 @@
+"""SED-style dense language feature extraction — the fused per-frame path.
+
+The reference splits this across detectron2's SED meta-arch
+(/root/reference/language/sed/sed_model.py:132-209: normalize → resize to
+768² → dense CLIP encode), the HR refinement net (slam_backend.py:537-554)
+and the autoencoder encode (slam_backend.py:559). Here the whole
+frame → (192, 192, low_dim) pipeline is ONE jitted function — this is the
+">40 FPS per chip" kernel of BASELINE.md.
+
+Weights come from `tools/convert_weights.py` outputs (npz trees). With no
+checkpoint present, random-initialized parameters keep the pipeline
+runnable for tests and benchmarks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .autoencoder import AutoencoderMLP, EncoderDecoderOnline
+from .convnext_clip import ConvNeXtCLIPVisual, normalize_image, resize_bilinear
+from .hr_net import HighResLanguageFeatureNet
+
+CLIP_RESOLUTION = (768, 768)
+
+
+class LangFeatureExtractor:
+    """Host-side holder of the visual tower + HR head + AE encoder params."""
+
+    def __init__(
+        self,
+        visual_params: Any | None = None,
+        hr_variables: Any | None = None,
+        ae_variables: Any | None = None,
+        *,
+        encoder_dims=None,
+        decoder_dims=None,
+        use_hr: bool = True,
+        dtype=jnp.float32,
+        rng: jax.Array | None = None,
+    ):
+        from .autoencoder import ONE_STAGE_DEC, ONE_STAGE_ENC
+
+        self.visual = ConvNeXtCLIPVisual()
+        self.hr = HighResLanguageFeatureNet() if use_hr else None
+        self.ae = AutoencoderMLP(
+            encoder_dims=tuple(encoder_dims or ONE_STAGE_ENC),
+            decoder_dims=tuple(decoder_dims or ONE_STAGE_DEC),
+        )
+        self.dtype = dtype
+
+        rng = rng if rng is not None else jax.random.key(0)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        if visual_params is None:
+            dummy = jnp.zeros((1, 64, 64, 3), dtype)
+            visual_params = self.visual.init(k1, dummy)["params"]
+        if hr_variables is None and use_hr:
+            hr_variables = self.hr.init(
+                k2,
+                jnp.zeros((1, 2, 2, 768), dtype),
+                jnp.zeros((1, 8, 8, 384), dtype),
+                jnp.zeros((1, 16, 16, 192), dtype),
+            )
+        if ae_variables is None:
+            ae_variables = self.ae.init(k3, jnp.zeros((1, 768), dtype))
+        self.visual_params = visual_params
+        self.hr_variables = hr_variables
+        self.ae_variables = ae_variables
+
+    # -- pure functions (jit-compiled once per shape) -----------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _dense_features(self, visual_params, rgb):
+        """rgb: (H, W, 3) float 0-255 → pyramid dict (NHWC, batch of 1)."""
+        x = normalize_image(rgb)[None]
+        x = resize_bilinear(x, CLIP_RESOLUTION)
+        return self.visual.apply({"params": visual_params}, x)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _hr_features(self, visual_params, hr_variables, rgb):
+        feats = self.visual.apply(
+            {"params": visual_params},
+            resize_bilinear(normalize_image(rgb)[None], CLIP_RESOLUTION),
+        )
+        hr = self.hr.apply(
+            hr_variables, feats["clip_vis_dense"], feats["res3"], feats["res2"]
+        )
+        return hr, feats
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _encode_frame(self, visual_params, hr_variables, ae_variables, rgb):
+        """Fused frame → (192, 192, low_dim) low-dimensional language map."""
+        hr, _ = self._hr_inner(visual_params, hr_variables, rgb)
+        n, h, w, c = hr.shape
+        flat = hr.reshape(-1, c)
+        code = self.ae.apply(ae_variables, flat, method=AutoencoderMLP.encode)
+        return code.reshape(h, w, -1)
+
+    def _hr_inner(self, visual_params, hr_variables, rgb):
+        feats = self.visual.apply(
+            {"params": visual_params},
+            resize_bilinear(normalize_image(rgb)[None], CLIP_RESOLUTION),
+        )
+        hr = self.hr.apply(
+            hr_variables, feats["clip_vis_dense"], feats["res3"], feats["res2"]
+        )
+        return hr, feats
+
+    # -- public API ---------------------------------------------------------
+
+    def dense_clip(self, rgb) -> dict:
+        """Reference `get_lang_feat` equivalent (sed_model.py dense path)."""
+        return self._dense_features(self.visual_params, jnp.asarray(rgb, self.dtype))
+
+    def hr_features(self, rgb) -> jax.Array:
+        """(192, 192, 768) refined CLIP map (reference hr_model output)."""
+        hr, _ = self._hr_features(
+            self.visual_params, self.hr_variables, jnp.asarray(rgb, self.dtype)
+        )
+        return hr[0]
+
+    def encode_frame(self, rgb) -> jax.Array:
+        """(192, 192, low_dim) — the full online language supervision map."""
+        return self._encode_frame(
+            self.visual_params, self.hr_variables, self.ae_variables,
+            jnp.asarray(rgb, self.dtype),
+        )
+
+    def decode_codes(self, codes) -> jax.Array:
+        """(..., low_dim) → (..., 768) through the AE decoder."""
+        flat = jnp.asarray(codes, self.dtype).reshape(-1, codes.shape[-1])
+        out = self.ae.apply(
+            self.ae_variables, flat, method=AutoencoderMLP.decode
+        )
+        return out.reshape(codes.shape[:-1] + (out.shape[-1],))

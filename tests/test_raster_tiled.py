@@ -1,0 +1,126 @@
+"""Tiled (Pallas) rasterizer vs. the dense oracle: forward + gradient parity.
+
+Runs in Pallas interpreter mode on CPU (the kernel auto-detects platform).
+The BASELINE config-#3 requirement — single-frame fwd/bwd parity of
+RGB + depth + language channels — is exercised here on randomized scenes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import random_scene
+from online_lang_splatting_tpu.ops.raster import rasterize
+
+
+def _both(scene, **kw):
+    outs = {}
+    for backend in ("oracle", "tpu"):
+        settings = scene["settings"]._replace(backend=backend)
+        outs[backend] = rasterize(
+            scene["means3d"], scene["opacities"], scene["scales"], scene["quats"],
+            shs=scene["shs"], language_features=scene["language_features"],
+            viewmatrix=scene["viewmatrix"], projmatrix=scene["projmatrix"],
+            settings=settings, **kw,
+        )
+    return outs["oracle"], outs["tpu"]
+
+
+@pytest.mark.parametrize("seed,n,w,h,tile", [
+    (0, 64, 64, 48, 16),
+    (1, 200, 80, 56, 16),
+    (2, 64, 50, 34, 15),   # reference tile size + ragged edges
+    (3, 32, 33, 17, 16),   # heavy edge padding
+])
+def test_forward_parity(seed, n, w, h, tile):
+    scene = random_scene(n=n, width=w, height=h, seed=seed, tile=tile)
+    bg = jnp.array([0.2, 0.4, 0.6])
+    ref, tpu = _both(scene, bg=bg)
+    np.testing.assert_allclose(tpu.color, ref.color, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(tpu.language, ref.language, atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(tpu.depth, ref.depth, atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(tpu.opacity, ref.opacity, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(tpu.final_t, ref.final_t, atol=2e-5, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(tpu.radii), np.asarray(ref.radii))
+    np.testing.assert_array_equal(
+        np.asarray(tpu.n_touched), np.asarray(ref.n_touched)
+    )
+
+
+def test_saturated_scene_parity():
+    """Early-stop path: dense opaque stack triggers the T<1e-4 cutoff."""
+    scene = random_scene(
+        n=256, width=32, height=32, seed=5, spread=0.2,
+        scale_range=(0.2, 0.5), depth_range=(2.0, 3.0),
+    )
+    # Push opacities high to saturate.
+    scene["opacities"] = jnp.full_like(scene["opacities"], 0.97)
+    ref, tpu = _both(scene)
+    assert float(ref.final_t.min()) < 2e-4  # cutoff actually reached
+    np.testing.assert_allclose(tpu.color, ref.color, atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(tpu.final_t, ref.final_t, atol=1e-6, rtol=1e-3)
+    np.testing.assert_array_equal(
+        np.asarray(tpu.n_touched), np.asarray(ref.n_touched)
+    )
+
+
+@pytest.mark.parametrize("wrt", ["means", "scales", "opacity", "lang", "pose"])
+def test_gradient_parity(wrt):
+    scene = random_scene(n=48, width=48, height=32, seed=7, lang_dim=8)
+    bg = jnp.array([0.3, 0.1, 0.5])
+    gw = jnp.asarray(np.random.default_rng(0).normal(size=(8,)), dtype=jnp.float32)
+
+    def loss(backend, means, scales, opac, lang, rho, theta):
+        settings = scene["settings"]._replace(backend=backend)
+        out = rasterize(
+            means, opac, scales, scene["quats"], shs=scene["shs"],
+            language_features=lang, viewmatrix=scene["viewmatrix"],
+            projmatrix=scene["projmatrix"], settings=settings, bg=bg,
+            cam_trans_delta=rho, cam_rot_delta=theta,
+        )
+        return (
+            jnp.abs(out.color).sum()
+            + (out.language * gw[:, None, None]).sum()
+            + 1.7 * out.depth.sum()
+            + 0.9 * out.opacity.sum()
+        )
+
+    argnum = {"means": 1, "scales": 2, "opacity": 3, "lang": 4, "pose": 5}[wrt]
+    args = (
+        scene["means3d"], scene["scales"], scene["opacities"],
+        scene["language_features"], jnp.zeros(3), jnp.zeros(3),
+    )
+    if wrt == "pose":
+        g_ref = jax.grad(lambda *a: loss("oracle", *a), argnums=(4, 5))(*args)
+        g_tpu = jax.grad(lambda *a: loss("tpu", *a), argnums=(4, 5))(*args)
+        for gr, gt in zip(g_ref, g_tpu):
+            np.testing.assert_allclose(gt, gr, atol=1e-3, rtol=1e-3)
+    else:
+        g_ref = jax.grad(lambda *a: loss("oracle", *a), argnums=argnum)(*args)
+        g_tpu = jax.grad(lambda *a: loss("tpu", *a), argnums=argnum)(*args)
+        scale = np.abs(np.asarray(g_ref)).max() + 1e-8
+        np.testing.assert_allclose(
+            np.asarray(g_tpu) / scale, np.asarray(g_ref) / scale,
+            atol=2e-5, rtol=1e-3,
+        )
+
+
+def test_overflow_flag():
+    from online_lang_splatting_tpu.ops.raster.binning import bin_gaussians
+    from online_lang_splatting_tpu.ops.raster.preprocess import preprocess
+
+    scene = random_scene(n=64, width=64, height=48, seed=0)
+    view, proj = scene["viewmatrix"], scene["projmatrix"]
+    st = scene["settings"]
+    prep = preprocess(
+        scene["means3d"], scene["scales"], scene["quats"], scene["opacities"],
+        view, proj @ view, -view[:3, :3].T @ view[:3, 3], shs=scene["shs"],
+        sh_degree=0, width=st.image_width, height=st.image_height,
+        tan_fovx=st.tanfovx, tan_fovy=st.tanfovy,
+    )
+    b_small = bin_gaussians(prep, tiles_x=4, tiles_y=3, max_instances=128)
+    assert bool(b_small.overflow)
+    b_big = bin_gaussians(prep, tiles_x=4, tiles_y=3, max_instances=1 << 14)
+    assert not bool(b_big.overflow)
+    assert int(b_big.num_instances) == int(prep.tiles_touched.sum())
