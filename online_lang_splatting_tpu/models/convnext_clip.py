@@ -115,6 +115,28 @@ def normalize_image(rgb_0_255: jax.Array) -> jax.Array:
 
 
 def resize_bilinear(x: jax.Array, size: tuple[int, int]) -> jax.Array:
-    """NHWC bilinear resize matching torch F.interpolate(align_corners=False)."""
+    """NHWC bilinear resize matching torch F.interpolate(align_corners=False,
+    antialias=False) exactly — including on downscale, where jax.image.resize
+    would apply anti-aliasing the reference does not."""
     n, h, w, c = x.shape
-    return jax.image.resize(x, (n, size[0], size[1], c), method="bilinear")
+    oh, ow = size
+    if (oh, ow) == (h, w):
+        return x
+
+    def axis_weights(in_len, out_len):
+        scale = in_len / out_len
+        src = (jnp.arange(out_len, dtype=jnp.float32) + 0.5) * scale - 0.5
+        src = jnp.clip(src, 0.0, in_len - 1)
+        i0 = jnp.floor(src).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, in_len - 1)
+        frac = src - i0.astype(jnp.float32)
+        return i0, i1, frac
+
+    y0, y1, fy = axis_weights(h, oh)
+    x0, x1, fx = axis_weights(w, ow)
+    top = x[:, y0] * (1 - fy)[None, :, None, None] + x[:, y1] * fy[None, :, None, None]
+    out = (
+        top[:, :, x0] * (1 - fx)[None, None, :, None]
+        + top[:, :, x1] * fx[None, None, :, None]
+    )
+    return out

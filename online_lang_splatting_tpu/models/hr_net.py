@@ -27,9 +27,10 @@ class ConvBNRelu(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.transpose:
-            # torch ConvTranspose2d(k=4, s=2, p=1) == 2x upsample.
+            # torch ConvTranspose2d(k=4, s=2, p=1) == 2x upsample; flax pad
+            # convention is k-1-p_torch = 2 per side (see tests for probe).
             x = nn.ConvTranspose(
-                self.features, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+                self.features, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
                 transpose_kernel=True, name="conv",
             )(x)
         else:

@@ -68,6 +68,7 @@ def rasterize(
     bg: jax.Array | None = None,
     cam_trans_delta: jax.Array | None = None,
     cam_rot_delta: jax.Array | None = None,
+    means2d_offset: jax.Array | None = None,
 ) -> RasterOutput:
     """Differentiable splat render.
 
@@ -75,6 +76,27 @@ def rasterize(
     reference's `projmatrix_raw`); the full transform P @ W2C is formed
     here so pose perturbations flow through it.
     """
+    with jax.default_matmul_precision("highest"):
+        return _rasterize_highp(
+            means3d, opacities, scales, quats,
+            viewmatrix=viewmatrix, projmatrix=projmatrix, settings=settings,
+            shs=shs, colors_precomp=colors_precomp,
+            cov3d_precomp=cov3d_precomp, language_features=language_features,
+            bg=bg, cam_trans_delta=cam_trans_delta,
+            cam_rot_delta=cam_rot_delta, means2d_offset=means2d_offset,
+        )
+
+
+def _rasterize_highp(
+    means3d, opacities, scales, quats, *, viewmatrix, projmatrix, settings,
+    shs, colors_precomp, cov3d_precomp, language_features, bg,
+    cam_trans_delta, cam_rot_delta, means2d_offset,
+) -> RasterOutput:
+    # Geometry math (point/covariance projection) is precision-critical:
+    # the default bf16 MXU passes shift screen positions by ~0.1 px and
+    # break parity with the reference; the matmuls here are tiny, so f32
+    # ("highest") costs nothing. Callers go through `rasterize`, which
+    # pins the precision context.
     dtype = means3d.dtype
     if bg is None:
         bg = jnp.zeros((3,), dtype)
@@ -96,7 +118,7 @@ def rasterize(
         sh_degree=settings.sh_degree, scale_modifier=settings.scale_modifier,
         width=settings.image_width, height=settings.image_height,
         tan_fovx=settings.tanfovx, tan_fovy=settings.tanfovy,
-        tile=settings.tile,
+        tile=settings.tile, means2d_offset=means2d_offset,
     )
 
     backend = settings.backend

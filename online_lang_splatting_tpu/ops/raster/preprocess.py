@@ -113,6 +113,7 @@ def preprocess(
     tan_fovx: float,
     tan_fovy: float,
     tile: int = C.DEFAULT_TILE,
+    means2d_offset: jax.Array | None = None,
 ) -> Preprocessed:
     """Project Gaussians to screen space.
 
@@ -156,6 +157,12 @@ def preprocess(
     px = (p_proj[..., 0] + 1.0) * width * 0.5 - 0.5
     py = (p_proj[..., 1] + 1.0) * height * 0.5 - 0.5
     xy = jnp.stack([px, py], -1)
+    if means2d_offset is not None:
+        # Zero-valued hook whose cotangent is the screen-space position
+        # gradient (the reference's `viewspace_points.grad`, used for
+        # densification statistics).
+        xy = xy + means2d_offset
+        px, py = xy[..., 0], xy[..., 1]
 
     # Tile rect (auxiliary.h getRect): int-cast toward zero then clamp.
     rect_min_x = jnp.clip(((px - radius) / tile).astype(jnp.int32), 0, tiles_x)

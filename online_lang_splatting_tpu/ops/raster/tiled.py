@@ -63,10 +63,38 @@ def _pix_pad(tile: int) -> int:
     return ((tile * tile + 127) // 128) * 128
 
 
-def _tri(g: int, strict: bool) -> jax.Array:
-    row = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
-    return (col < row if strict else col <= row).astype(jnp.float32)
+def _row_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+
+
+def _shift_down(x: jax.Array, s: int, fill: float) -> jax.Array:
+    """Shift rows down by s (row i <- row i-s), filling the top with `fill`."""
+    rolled = pltpu.roll(x, s, axis=0)
+    return jnp.where(_row_iota(x.shape) >= s, rolled, fill)
+
+
+def _prefix_scan(x: jax.Array, op, fill: float) -> jax.Array:
+    """Inclusive Hillis-Steele prefix scan along axis 0 (log2 steps on the
+    VPU — exact f32, unlike an MXU triangular matmul)."""
+    n = x.shape[0]
+    s = 1
+    while s < n:
+        x = op(x, _shift_down(x, s, fill))
+        s *= 2
+    return x
+
+
+def _prefix_prod_excl(x: jax.Array) -> jax.Array:
+    """Exclusive prefix product along axis 0."""
+    return _prefix_scan(_shift_down(x, 1, 1.0), jnp.multiply, 1.0)
+
+
+def _prefix_sum_incl(x: jax.Array) -> jax.Array:
+    return _prefix_scan(x, jnp.add, 0.0)
+
+
+def _prefix_max_incl(x: jax.Array) -> jax.Array:
+    return _prefix_scan(x, jnp.maximum, 0.0)
 
 
 def _pixel_coords(tile_id, tiles_x: int, tile: int, pix: int):
@@ -105,34 +133,26 @@ def _chunk_alpha(geom, tile_id, tiles_x: int, tile: int, pix: int):
     )
 
 
-def _composite(alpha, skip, t_prev, done_prev, tri_s, tri_i):
+def _composite(alpha, skip, t_prev, done_prev):
     """Prefix-product transmittance + stop handling for one chunk.
 
     t_prev/done_prev: (1, pix). Returns (cum_t, test_t, contrib, w,
     t_new, done_new) with contrib/w zeroed after any stop.
     """
-    log1m = jnp.log1p(-alpha)  # log(1 - alpha); alpha <= 0.99
-    prefix_excl = jax.lax.dot_general(
-        tri_s, log1m, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-    )
-    cum_t = t_prev * jnp.exp(prefix_excl)
-    test_t = cum_t * (1.0 - alpha)
+    one_minus = 1.0 - alpha  # >= 0.01 (alpha clamped at 0.99)
+    cum_t = t_prev * _prefix_prod_excl(one_minus)
+    test_t = cum_t * one_minus
     stop = jnp.where(~skip & (test_t < C.T_EPS), 1.0, 0.0)
-    stopped_incl = (
-        jax.lax.dot_general(
-            tri_i, stop, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        > 0.5
-    )
+    stopped_incl = _prefix_max_incl(stop) > 0.5
     live = done_prev < 0.5  # (1, pix)
     contrib = (~skip) & (~stopped_incl) & live
     w = jnp.where(contrib, alpha * cum_t, 0.0)
-    log1m_eff = jnp.where(contrib, log1m, 0.0)
-    t_new = t_prev * jnp.exp(jnp.sum(log1m_eff, axis=0, keepdims=True))
+    # reduce_prod is unimplemented in Mosaic; take the last row of an
+    # inclusive prefix product instead.
+    contrib_prod = _prefix_scan(
+        jnp.where(contrib, one_minus, 1.0), jnp.multiply, 1.0
+    )
+    t_new = t_prev * contrib_prod[-1:, :]
     done_new = jnp.maximum(done_prev, jnp.max(stop, axis=0, keepdims=True))
     return cum_t, test_t, contrib, w, t_new, done_new
 
@@ -145,10 +165,16 @@ def _fwd_kernel(
     # outputs
     acc_ref, nt_ref,
     # scratch
-    t_s, done_s,
+    t_s, done_s, acc_s, nt_s,
     *, tiles_x: int, num_tiles: int, tile: int, pix: int, f_pad: int,
     f_out: int, width: int, height: int,
 ):
+    # NOTE on buffering: Pallas double-buffers output blocks, and with
+    # scalar-prefetch-driven index maps it cannot prove consecutive steps
+    # revisit the same block — so accumulating *into* an output ref reads
+    # the stale sibling buffer. All cross-chunk state therefore lives in
+    # VMEM scratch, and every output block is written exactly once (at the
+    # tile's last chunk / the nt block's last row).
     c = pl.program_id(0)
     tile_id = ct_ref[c]
     active = tile_id < num_tiles
@@ -156,25 +182,24 @@ def _fwd_kernel(
 
     @pl.when(cf_ref[c] == 1)
     def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        acc_s[...] = jnp.zeros_like(acc_s)
         t_s[...] = jnp.ones_like(t_s)
         done_s[...] = jnp.zeros_like(done_s)
 
     @pl.when(active)
     def _():
         a = _chunk_alpha(geom_ref[...], tile_id, tiles_x, tile, pix)
-        tri_s, tri_i = _tri(CHUNK, True), _tri(CHUNK, False)
         cum_t, test_t, contrib, w, t_new, done_new = _composite(
-            a["alpha"], a["skip"], t_s[...], done_s[...], tri_s, tri_i
+            a["alpha"], a["skip"], t_s[...], done_s[...]
         )
-        acc_ref[0] += jax.lax.dot_general(
+        acc_s[...] += jax.lax.dot_general(
             feat_ref[...], w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         pix_ok = a["in_tile"] & (a["px"] < width) & (a["py"] < height)
         touched = contrib & (test_t > C.N_TOUCHED_T) & pix_ok
-        nt_ref[pl.ds(nt_row, 1), :] = jnp.sum(
+        nt_s[pl.ds(nt_row, 1), :] = jnp.sum(
             touched, axis=1, dtype=jnp.int32
         ).reshape(1, CHUNK)
         t_s[...] = t_new
@@ -182,12 +207,17 @@ def _fwd_kernel(
 
     @pl.when(~active)
     def _():
-        nt_ref[pl.ds(nt_row, 1), :] = jnp.zeros((1, CHUNK), jnp.int32)
+        nt_s[pl.ds(nt_row, 1), :] = jnp.zeros((1, CHUNK), jnp.int32)
 
     @pl.when(cl_ref[c] == 1)
     def _():
         # final_T rides as channel row f_out of the accumulator tile.
-        acc_ref[0, pl.ds(f_out, 1), :] = t_s[...]
+        acc_s[pl.ds(f_out, 1), :] = t_s[...]
+        acc_ref[...] = acc_s[...][None]
+
+    @pl.when(nt_row == NT_ROWS - 1)
+    def _():
+        nt_ref[...] = nt_s[...]
 
 
 def _bwd_kernel(
@@ -218,10 +248,9 @@ def _bwd_kernel(
     @pl.when(active)
     def _():
         a = _chunk_alpha(geom_ref[...], tile_id, tiles_x, tile, pix)
-        tri_s, tri_i = _tri(CHUNK, True), _tri(CHUNK, False)
         alpha, skip = a["alpha"], a["skip"]
         cum_t, test_t, contrib, w, t_new, done_new = _composite(
-            alpha, skip, t_s[...], done_s[...], tri_s, tri_i
+            alpha, skip, t_s[...], done_s[...]
         )
         g_img = gacc_ref[0]  # (f_pad, pix)
         # G_j[p] = sum_f feat[f, j] * g[f, p]
@@ -231,13 +260,7 @@ def _bwd_kernel(
             precision=jax.lax.Precision.HIGHEST,
         )  # (CHUNK, pix)
         wg = w * gdot
-        prefix_incl = (
-            jax.lax.dot_general(
-                tri_i, wg, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-            )
-        )
+        prefix_incl = _prefix_sum_incl(wg)
         suffix = carry_ref[...] - prefix_incl  # S_j = future wG + T_end*gT_end
         dalpha = jnp.where(
             contrib, cum_t * gdot - suffix / (1.0 - alpha), 0.0
@@ -351,6 +374,8 @@ def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, point_list,
         scratch_shapes=[
             pltpu.VMEM((1, pix), jnp.float32),
             pltpu.VMEM((1, pix), jnp.float32),
+            pltpu.VMEM((f_pad, pix), jnp.float32),
+            pltpu.VMEM((NT_ROWS, CHUNK), jnp.int32),
         ],
     )
     acc, n_touched = pl.pallas_call(

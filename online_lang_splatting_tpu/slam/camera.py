@@ -1,0 +1,114 @@
+"""Per-frame camera state (host-side) and image-space preprocessing.
+
+Mirror of the reference Camera (/root/reference/utils/camera_utils.py:8-163)
+minus torch: poses are numpy, images/depths are device arrays, the pose
+deltas/exposure live as small jnp arrays optimized by the tracking and
+mapping steps. The Scharr gradient mask matches compute_grad_mask
+(:123-152) — "replica"-type datasets use per-block medians, everything
+else a global median threshold.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import graphics, losses
+
+
+@dataclasses.dataclass
+class Camera:
+    uid: int
+    image: Any            # (3, H, W) float32 [0, 1] device array
+    depth: np.ndarray     # (H, W) float32 meters (host)
+    r_gt: np.ndarray      # (3, 3)
+    t_gt: np.ndarray      # (3,)
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    fovx: float
+    fovy: float
+    height: int
+    width: int
+    # Current estimated pose (W2C), updated by tracking/mapping.
+    r: np.ndarray = None
+    t: np.ndarray = None
+    exposure_a: float = 0.0
+    exposure_b: float = 0.0
+    grad_mask: Any = None
+    gt_lang_feat: Any = None    # (L, 192, 192) cached supervision map
+    coco_lang_feat: Any = None  # (N, 32) two-stage cached codes
+    lang_feat_mask: Any = None
+
+    def __post_init__(self):
+        if self.r is None:
+            self.r = np.eye(3, dtype=np.float32)
+        if self.t is None:
+            self.t = np.zeros(3, dtype=np.float32)
+
+    @classmethod
+    def from_dataset(cls, dataset, idx: int) -> "Camera":
+        color, depth, pose, gt_lang, lang_mask = dataset[idx]
+        return cls(
+            uid=idx,
+            image=jnp.asarray(color),
+            depth=depth,
+            r_gt=pose[:3, :3].astype(np.float32),
+            t_gt=pose[:3, 3].astype(np.float32),
+            fx=dataset.fx, fy=dataset.fy, cx=dataset.cx, cy=dataset.cy,
+            fovx=dataset.fovx, fovy=dataset.fovy,
+            height=dataset.height, width=dataset.width,
+            gt_lang_feat=gt_lang, lang_feat_mask=lang_mask,
+        )
+
+    def update_rt(self, r, t):
+        self.r = np.asarray(r, np.float32)
+        self.t = np.asarray(t, np.float32)
+
+    @property
+    def world_view_transform(self) -> np.ndarray:
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = self.r
+        m[:3, 3] = self.t
+        return m
+
+    def compute_grad_mask(self, config: dict):
+        edge_threshold = config["Training"]["edge_threshold"]
+        gray = jnp.mean(self.image, axis=0, keepdims=True)
+        grad_v, grad_h = losses.image_gradient(gray)
+        mask_v, mask_h = losses.image_gradient_mask(gray)
+        intensity = jnp.sqrt(
+            jnp.square(grad_v * mask_v) + jnp.square(grad_h * mask_h)
+        )
+        if config["Dataset"]["type"] == "replica":
+            rows = cols = 32
+            h, w = self.height, self.width
+            bh, bw = h // rows, w // cols
+            blocks = np.asarray(intensity)[0, : rows * bh, : cols * bw].reshape(
+                rows, bh, cols, bw
+            )
+            med = np.median(blocks, axis=(1, 3), keepdims=True)
+            out = (blocks > med * edge_threshold).astype(np.float32)
+            full = np.zeros((h, w), np.float32)
+            full[: rows * bh, : cols * bw] = out.reshape(rows * bh, cols * bw)
+            self.grad_mask = jnp.asarray(full[None])
+        else:
+            med = jnp.median(intensity)
+            self.grad_mask = (intensity > med * edge_threshold).astype(jnp.float32)
+
+    def clean(self):
+        self.image = None
+        self.depth = None
+        self.grad_mask = None
+        self.gt_lang_feat = None
+        self.coco_lang_feat = None
+
+
+def camera_projection(cam: Camera, znear=0.01, zfar=100.0):
+    return graphics.projection_matrix(
+        znear, zfar, cam.cx, cam.cy, cam.fx, cam.fy, cam.width, cam.height
+    )

@@ -1,0 +1,242 @@
+"""RGB-D dataset loaders.
+
+Parser behavior matches /root/reference/utils/dataset.py: ReplicaParser
+(traj.txt, inverted C2W), ReplicaParserv2 (vMAP layout rgb_*.png /
+depth_*.png / traj_w_c.txt, poses used verbatim like the reference),
+TUMParser (timestamp association), plus precomputed-label loading. A
+`SyntheticDataset` (not in the reference) renders an analytic textured
+scene so the full SLAM loop is testable without Replica on disk.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+from pathlib import Path
+
+import numpy as np
+
+from ..ops import graphics
+
+
+def _natsorted(paths):
+    import re
+
+    def key(s):
+        return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
+
+    return sorted(paths, key=key)
+
+
+def _imread(path):
+    from PIL import Image
+
+    return np.array(Image.open(path))
+
+
+class BaseDataset:
+    """Common RGB-D access: returns (image (3,H,W) [0,1], depth (H,W) m,
+    pose (4,4) W2C, gt_lang_feat, lang_feat_mask)."""
+
+    def __init__(self, config: dict):
+        self.config = config
+        calib = config["Dataset"]["Calibration"]
+        self.width = calib["width"]
+        self.height = calib["height"]
+        self.fx, self.fy = calib["fx"], calib["fy"]
+        self.cx, self.cy = calib["cx"], calib["cy"]
+        self.depth_scale = calib.get("depth_scale", 1.0)
+        self.fovx = graphics.focal_to_fov(self.fx, self.width)
+        self.fovy = graphics.focal_to_fov(self.fy, self.height)
+        self.distorted = calib.get("distorted", False)
+        self.dist_coeffs = np.array(
+            [calib.get(k, 0.0) for k in ("k1", "k2", "p1", "p2", "k3")]
+        )
+        self.color_paths: list[str] = []
+        self.depth_paths: list[str] = []
+        self.poses: list[np.ndarray] = []
+        self.load_labels = bool(
+            config.get("language", {}).get("labels_from_file", False)
+        )
+        self.feat_map_paths: list[str] = []
+        if self.load_labels:
+            label_path = config["language"]["lang_label_path"]
+            self.feat_map_paths = sorted(glob.glob(f"{label_path}/*_ld.npy"))
+
+    def __len__(self):
+        return len(self.color_paths)
+
+    def __getitem__(self, idx):
+        image = _imread(self.color_paths[idx])[..., :3]
+        if self.distorted:
+            import cv2
+
+            k = np.array(
+                [[self.fx, 0, self.cx], [0, self.fy, self.cy], [0, 0, 1]]
+            )
+            map1, map2 = cv2.initUndistortRectifyMap(
+                k, self.dist_coeffs, np.eye(3), k,
+                (self.width, self.height), cv2.CV_32FC1,
+            )
+            image = cv2.remap(image, map1, map2, cv2.INTER_LINEAR)
+        depth = (
+            _imread(self.depth_paths[idx]).astype(np.float32) / self.depth_scale
+        )
+        gt_lang = None
+        lang_mask = None
+        if self.load_labels and idx < len(self.feat_map_paths):
+            gt_lang = np.load(self.feat_map_paths[idx])
+            lang_mask = gt_lang
+        color = np.clip(image.astype(np.float32) / 255.0, 0.0, 1.0)
+        color = np.transpose(color, (2, 0, 1))
+        return color, depth, self.poses[idx].astype(np.float32), gt_lang, lang_mask
+
+
+class ReplicaV2Dataset(BaseDataset):
+    """vMAP-layout Replica (rgb/rgb_*.png, depth/depth_*.png, traj_w_c.txt)."""
+
+    def __init__(self, config: dict):
+        super().__init__(config)
+        root = config["Dataset"]["dataset_path"]
+        self.color_paths = _natsorted(glob.glob(f"{root}/rgb/rgb_*.png"))
+        self.depth_paths = _natsorted(glob.glob(f"{root}/depth/depth_*.png"))
+        with open(f"{root}/traj_w_c.txt") as f:
+            lines = f.readlines()
+        # Poses are consumed verbatim as W2C, matching the reference parser
+        # (dataset.py:47-79 — no inversion for the v2 layout).
+        self.poses = [
+            np.array(list(map(float, lines[i].split()))).reshape(4, 4)
+            for i in range(len(self.color_paths))
+        ]
+
+
+class ReplicaDataset(BaseDataset):
+    """Original MonoGS Replica layout (results/frame*.jpg, traj.txt C2W)."""
+
+    def __init__(self, config: dict):
+        super().__init__(config)
+        root = config["Dataset"]["dataset_path"]
+        self.color_paths = _natsorted(glob.glob(f"{root}/results/frame*.jpg"))
+        self.depth_paths = _natsorted(glob.glob(f"{root}/results/depth*.png"))
+        with open(f"{root}/traj.txt") as f:
+            lines = f.readlines()
+        self.poses = [
+            np.linalg.inv(np.array(list(map(float, l.split()))).reshape(4, 4))
+            for l in lines[: len(self.color_paths)]
+        ]
+
+
+class TUMDataset(BaseDataset):
+    """TUM RGB-D with timestamp association (dataset.py TUMParser)."""
+
+    def __init__(self, config: dict):
+        super().__init__(config)
+        root = Path(config["Dataset"]["dataset_path"])
+        rgb = self._read_list(root / "rgb.txt")
+        depth = self._read_list(root / "depth.txt")
+        gt = self._read_list(root / "groundtruth.txt")
+        assoc = self._associate(rgb[:, 0], depth[:, 0], gt[:, 0])
+        for i, j, k in assoc:
+            self.color_paths.append(str(root / rgb[i, 1]))
+            self.depth_paths.append(str(root / depth[j, 1]))
+            q = gt[k, 4:8].astype(np.float64)  # qx qy qz qw
+            t = gt[k, 1:4].astype(np.float64)
+            c2w = np.eye(4)
+            c2w[:3, :3] = _quat_to_rot(q)
+            c2w[:3, 3] = t
+            self.poses.append(np.linalg.inv(c2w))
+
+    @staticmethod
+    def _read_list(path):
+        rows = []
+        with open(path) as f:
+            for line in f:
+                if line.startswith("#") or not line.strip():
+                    continue
+                rows.append(line.split())
+        return np.array(rows, dtype=object)
+
+    @staticmethod
+    def _associate(t_rgb, t_depth, t_gt, max_dt=0.08):
+        t_rgb = t_rgb.astype(np.float64)
+        t_depth = t_depth.astype(np.float64)
+        t_gt = t_gt.astype(np.float64)
+        out = []
+        for i, t in enumerate(t_rgb):
+            j = int(np.argmin(np.abs(t_depth - t)))
+            k = int(np.argmin(np.abs(t_gt - t)))
+            if abs(t_depth[j] - t) < max_dt and abs(t_gt[k] - t) < max_dt:
+                out.append((i, j, k))
+        return out
+
+
+def _quat_to_rot(q):
+    x, y, z, w = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+class SyntheticDataset(BaseDataset):
+    """Analytic textured-box scene with a smooth camera orbit — no disk data.
+
+    Not part of the reference; exists so the end-to-end SLAM loop (tracking,
+    mapping, keyframing, language fusion) is exercisable in CI.
+    """
+
+    def __init__(self, config: dict):
+        super().__init__(config)
+        self.n = config["Dataset"].get("num_frames", 30)
+        self.color_paths = ["<synthetic>"] * self.n
+        self.rng = np.random.default_rng(config["Dataset"].get("seed", 0))
+        # Random color texture on the z = D wall + side walls.
+        self.tex = self.rng.uniform(0.1, 0.9, size=(16, 16, 3)).astype(np.float32)
+        self.poses = [self._pose(i) for i in range(self.n)]
+
+    def _pose(self, i):
+        # Small translation orbit, looking down +z.
+        t = i / max(self.n - 1, 1)
+        w2c = np.eye(4, dtype=np.float64)
+        w2c[:3, 3] = [-0.25 * np.sin(2 * np.pi * t), -0.1 * np.cos(2 * np.pi * t), 0.15 * t]
+        return w2c
+
+    def __getitem__(self, idx):
+        w2c = self.poses[idx]
+        c2w = np.linalg.inv(w2c)
+        h, w = self.height, self.width
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        dirs = np.stack(
+            [(xs - self.cx) / self.fx, (ys - self.cy) / self.fy, np.ones_like(xs)], -1
+        )
+        dirs_w = dirs @ c2w[:3, :3].T
+        org = c2w[:3, 3]
+        # Intersect with wall z=4 plus a sloped floor y=1.5.
+        tz = (4.0 - org[2]) / np.maximum(dirs_w[..., 2], 1e-6)
+        ty = (1.5 - org[1]) / np.where(np.abs(dirs_w[..., 1]) > 1e-6, dirs_w[..., 1], 1e6)
+        ty = np.where(ty > 0, ty, 1e6)
+        tt = np.minimum(tz, ty)
+        pts = org + tt[..., None] * dirs_w
+        u = np.abs(pts[..., 0] % 2.0) / 2.0
+        v = np.abs((pts[..., 1] + pts[..., 2]) % 2.0) / 2.0
+        ui = (u * 15.99).astype(np.int32)
+        vi = (v * 15.99).astype(np.int32)
+        color = self.tex[vi, ui]
+        depth = (tt * dirs[..., 2]).astype(np.float32)  # z-depth
+        color = np.transpose(np.clip(color, 0, 1), (2, 0, 1)).astype(np.float32)
+        return color, depth, w2c.astype(np.float32), None, None
+
+
+def load_dataset(config: dict) -> BaseDataset:
+    kind = config["Dataset"]["type"]
+    if kind == "replicav2":
+        return ReplicaV2Dataset(config)
+    if kind == "replica":
+        return ReplicaDataset(config)
+    if kind == "tum":
+        return TUMDataset(config)
+    if kind == "synthetic":
+        return SyntheticDataset(config)
+    raise ValueError(f"Unknown dataset type: {kind}")

@@ -47,7 +47,7 @@ def _t(x):  # torch tensor -> numpy
 # --- ConvNeXt CLIP visual tower -------------------------------------------
 
 
-def convert_visual(sd: dict) -> dict:
+def convert_visual(sd: dict, depths=(3, 3, 27, 3)) -> dict:
     """Map open_clip 'visual.trunk.*' / 'visual.head.*' weights to
     ConvNeXtCLIPVisual param names."""
 
@@ -63,7 +63,6 @@ def convert_visual(sd: dict) -> dict:
                       "bias": _t(sd[pre + "stem.0.bias"])}
     p["stem_norm"] = {"scale": _t(sd[pre + "stem.1.weight"]),
                       "bias": _t(sd[pre + "stem.1.bias"])}
-    depths = (3, 3, 27, 3)
     for s in range(4):
         stage = {}
         if s > 0:
@@ -206,21 +205,11 @@ def convert_hr(sd: dict) -> dict:
 def convert_ae(sd: dict) -> dict:
     """AutoencoderMLP (Lightning 'model.encoder.N.*' flat ModuleList)."""
     sd = {k.removeprefix("model."): v for k, v in sd.items()}
+    # encoder ModuleList indices: 0=Linear, then per layer (BN, ReLU, Linear).
     enc_p, enc_s = {}, {}
-    # encoder ModuleList: Linear, then per extra layer (BN, ReLU-less, Linear):
-    # indices: 0=Linear, 1=BN, 2=ReLU, 3=Linear, 4=BN, 5=ReLU, 6=Linear ...
     li = 0
-    idx = 0
-    while f"encoder.{idx}.weight" in sd or f"encoder.{idx}.running_mean" in sd or any(
-        k.startswith(f"encoder.{idx}.") for k in sd
-    ):
-        keys = [k for k in sd if k.startswith(f"encoder.{idx}.")]
-        if not keys:
-            idx += 1
-            if idx > 64:
-                break
-            continue
-        if f"encoder.{idx}.running_mean" in sd:  # BatchNorm1d
+    for idx in range(128):
+        if f"encoder.{idx}.running_mean" in sd:  # BatchNorm1d (precedes fc li)
             enc_p[f"bn{li}"] = {"scale": _t(sd[f"encoder.{idx}.weight"]),
                                 "bias": _t(sd[f"encoder.{idx}.bias"])}
             enc_s[f"bn{li}"] = {"mean": _t(sd[f"encoder.{idx}.running_mean"]),
@@ -229,17 +218,14 @@ def convert_ae(sd: dict) -> dict:
             enc_p[f"fc{li}"] = {"kernel": _t(sd[f"encoder.{idx}.weight"]).T,
                                 "bias": _t(sd[f"encoder.{idx}.bias"])}
             li += 1
-        idx += 1
 
     dec_p = {}
     li = 0
-    idx = 0
-    while idx <= 64:
+    for idx in range(128):
         if f"decoder.{idx}.weight" in sd:
             dec_p[f"fc{li}"] = {"kernel": _t(sd[f"decoder.{idx}.weight"]).T,
                                 "bias": _t(sd[f"decoder.{idx}.bias"])}
             li += 1
-        idx += 1
     return {
         "params": {"encoder": enc_p, "decoder": dec_p},
         "batch_stats": {"encoder": enc_s},
