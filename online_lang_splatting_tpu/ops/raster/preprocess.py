@@ -65,14 +65,19 @@ def compute_cov3d(scales: jax.Array, scale_modifier: float, quats: jax.Array) ->
 def compute_cov2d(
     mean3d: jax.Array, cov3d: jax.Array, viewmatrix: jax.Array,
     focal_x: float, focal_y: float, tan_fovx: float, tan_fovy: float,
+    valid: jax.Array | None = None,
 ) -> jax.Array:
     """EWA splatting: project world covariance to 2D screen space.
 
     Returns (P, 3) packed symmetric (cov_xx, cov_xy, cov_yy) with the
     reference's +0.3 px low-pass on the diagonal (forward.cu:77-116).
+    `valid` guards the 1/z terms: culled Gaussians would otherwise emit
+    inf/NaN whose zero-cotangent products still poison reverse-mode AD.
     """
     t = mean3d @ viewmatrix[:3, :3].T + viewmatrix[:3, 3]
     tz = t[..., 2]
+    if valid is not None:
+        tz = jnp.where(valid, tz, 1.0)
     limx, limy = 1.3 * tan_fovx, 1.3 * tan_fovy
     tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
     ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
@@ -133,14 +138,20 @@ def preprocess(
 
     hom = means3d @ projmatrix[:3, :3].T + projmatrix[:3, 3]
     w = means3d @ projmatrix[3, :3].T + projmatrix[3, 3]
-    p_w = 1.0 / (w + 1e-7)
+    # Guarded divide: for culled points 1/(w+eps) can blow up and its NaN/inf
+    # partials leak through zero cotangents in the backward pass.
+    w_safe = jnp.where(in_front, w, 1.0)
+    p_w = 1.0 / (w_safe + 1e-7)
     p_proj = hom * p_w[..., None]
 
     if cov3d_precomp is not None:
         cov3d = cov3d_precomp
     else:
         cov3d = compute_cov3d(scales, scale_modifier, quats)
-    cov = compute_cov2d(means3d, cov3d, viewmatrix, focal_x, focal_y, tan_fovx, tan_fovy)
+    cov = compute_cov2d(
+        means3d, cov3d, viewmatrix, focal_x, focal_y, tan_fovx, tan_fovy,
+        valid=in_front,
+    )
 
     det = cov[..., 0] * cov[..., 2] - cov[..., 1] * cov[..., 1]
     det_ok = det != 0.0

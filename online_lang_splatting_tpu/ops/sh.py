@@ -78,7 +78,9 @@ def sh_to_color(deg: int, sh: jax.Array, means: jax.Array, campos: jax.Array) ->
     means: (..., 3); campos: (3,). Clamped to >= 0 like forward.cu:69-74.
     """
     dirs = means - campos
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8
+    )
     return jnp.maximum(eval_sh(deg, sh, dirs) + 0.5, 0.0)
 
 

@@ -192,15 +192,23 @@ class SyntheticDataset(BaseDataset):
         self.n = config["Dataset"].get("num_frames", 30)
         self.color_paths = ["<synthetic>"] * self.n
         self.rng = np.random.default_rng(config["Dataset"].get("seed", 0))
-        # Random color texture on the z = D wall + side walls.
-        self.tex = self.rng.uniform(0.1, 0.9, size=(16, 16, 3)).astype(np.float32)
+        # Coarse random texture (texels ~10 px on screen) so Scharr edges
+        # are sparse, as the edge_threshold grad-mask heuristic assumes.
+        self.tex = self.rng.uniform(0.1, 0.9, size=(8, 8, 3)).astype(np.float32)
         self.poses = [self._pose(i) for i in range(self.n)]
 
     def _pose(self, i):
-        # Small translation orbit, looking down +z.
+        # Translation orbit + yaw sweep so keyframe visibility overlap
+        # actually decays along the trajectory.
+        # ~2 cm translation + ~2.5 deg yaw per frame: comparable to Replica
+        # inter-frame motion so reference-style tracking budgets suffice,
+        # while the yaw sweep still decays keyframe visibility overlap.
         t = i / max(self.n - 1, 1)
+        yaw = 0.5 * t
+        c, s = np.cos(yaw), np.sin(yaw)
         w2c = np.eye(4, dtype=np.float64)
-        w2c[:3, 3] = [-0.25 * np.sin(2 * np.pi * t), -0.1 * np.cos(2 * np.pi * t), 0.15 * t]
+        w2c[:3, :3] = np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]])
+        w2c[:3, 3] = [-0.15 * t, -0.05 * np.cos(2 * np.pi * t), 0.1 * t]
         return w2c
 
     def __getitem__(self, idx):
@@ -219,10 +227,10 @@ class SyntheticDataset(BaseDataset):
         ty = np.where(ty > 0, ty, 1e6)
         tt = np.minimum(tz, ty)
         pts = org + tt[..., None] * dirs_w
-        u = np.abs(pts[..., 0] % 2.0) / 2.0
-        v = np.abs((pts[..., 1] + pts[..., 2]) % 2.0) / 2.0
-        ui = (u * 15.99).astype(np.int32)
-        vi = (v * 15.99).astype(np.int32)
+        u = np.abs(pts[..., 0] % 4.0) / 4.0
+        v = np.abs((pts[..., 1] + pts[..., 2]) % 4.0) / 4.0
+        ui = (u * 7.99).astype(np.int32)
+        vi = (v * 7.99).astype(np.int32)
         color = self.tex[vi, ui]
         depth = (tt * dirs[..., 2]).astype(np.float32)  # z-depth
         color = np.transpose(np.clip(color, 0, 1), (2, 0, 1)).astype(np.float32)

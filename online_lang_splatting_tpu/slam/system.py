@@ -1,0 +1,172 @@
+"""SLAM orchestration: wires frontend + backend, single- or dual-thread.
+
+Equivalent of the reference `SLAM` class + process topology
+(/root/reference/slam.py:32-255): the reference runs frontend/backend as
+OS processes exchanging CUDA tensors over queues; here they are host
+threads (or a lock-step single thread) driving XLA computations. JAX
+arrays are immutable, so the reference's whole-model `clone_obj` snapshot
+protocol degenerates to handing over pytree references under a lock —
+race-free by construction.
+
+Message protocol (matching slam_frontend/slam_backend):
+  frontend → backend: ["init", idx, cam, depthmap] |
+                      ["keyframe", idx, cam, window, depthmap] |
+                      ["color_refinement"] | ["stop"] | ["pause"] | ["unpause"]
+  backend → frontend: ["sync_backend", render_inputs, occ_vis, kf_poses] |
+                      ["init"/"keyframe" ack]
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.raster import RasterSettings
+from .backend import BackEnd
+from .camera import Camera, camera_projection
+from .datasets import load_dataset
+from .frontend import FrontEnd
+from .renderer import activate
+
+
+class SLAM:
+    def __init__(self, config: dict, lang_extractor=None, online_ae=None,
+                 save_dir: Optional[str] = None):
+        self.config = config
+        self.dataset = load_dataset(config)
+        self.save_dir = save_dir
+        calib = config["Dataset"]["Calibration"]
+        width, height = calib["width"], calib["height"]
+        import math
+
+        tanfovx = math.tan(self.dataset.fovx / 2)
+        tanfovy = math.tan(self.dataset.fovy / 2)
+        lang_dim = config.get("language", {}).get("lang_code_size", 15)
+        cap0 = config.get("capacity", 1 << 17)
+        avg_dup = config.get("max_instance_factor", 16)
+        self.settings = RasterSettings(
+            image_height=height, image_width=width,
+            tanfovx=tanfovx, tanfovy=tanfovy,
+            sh_degree=config["model_params"]["sh_degree"],
+            backend=config.get("raster_backend", "tpu"),
+            max_instances=avg_dup * cap0,
+        )
+        self.proj = camera_projection(
+            Camera(
+                uid=-1, image=None, depth=None,
+                r_gt=np.eye(3), t_gt=np.zeros(3),
+                fx=self.dataset.fx, fy=self.dataset.fy,
+                cx=self.dataset.cx, cy=self.dataset.cy,
+                fovx=self.dataset.fovx, fovy=self.dataset.fovy,
+                height=height, width=width,
+            )
+        )
+        self.backend = BackEnd(
+            config, self.settings, self.proj, capacity=cap0,
+            lang_extractor=lang_extractor, online_ae=online_ae,
+        )
+        self.frontend = FrontEnd(config, self.settings)
+        self.frontend_queue: "queue.Queue" = queue.Queue()
+        self.backend_queue: "queue.Queue" = queue.Queue()
+        self.use_every_n_frames = 1
+        self.kf_interval = config["Training"]["kf_interval"]
+        self.single_thread = config["Training"].get("single_thread", True)
+        self.eval_rendering = config.get("Results", {}).get("eval_rendering", False)
+        self.fps = None
+
+    # -- single-thread driver ----------------------------------------------
+
+    def _sync_frontend_state(self):
+        """Give the frontend the backend's current map + keyframe poses."""
+        self.frontend.render_inputs = activate(
+            self.backend.params, self.backend.aux.active
+        )
+        self.frontend.occ_aware_visibility = dict(
+            self.backend.occ_aware_visibility
+        )
+        for idx, cam in self.backend.viewpoints.items():
+            if idx in self.frontend.cameras:
+                self.frontend.cameras[idx].update_rt(cam.r, cam.t)
+
+    def run(self, max_frames: Optional[int] = None):
+        t_start = time.time()
+        n = len(self.dataset)
+        if max_frames is not None:
+            n = min(n, max_frames)
+        fe, be = self.frontend, self.backend
+        iter_per_kf = be.mapping_itr_num
+        cur_window: list[int] = []
+        last_kf = 0
+        frames_since_kf = 0
+
+        for idx in range(n):
+            cam = Camera.from_dataset(self.dataset, idx)
+            cam.compute_grad_mask(self.config)
+            fe.cameras[idx] = cam
+
+            if idx == 0:
+                cam.update_rt(cam.r_gt, cam.t_gt)
+                depthmap = fe.new_keyframe_depth(cam)
+                be.add_next_kf(0, cam, depthmap, init=True)
+                be.initialize_map(0, cam)
+                self._sync_frontend_state()
+                cur_window = [0]
+                fe.current_window = cur_window
+                fe.kf_indices = [0]
+                # Visibility of the first keyframe comes from its mapping.
+                continue
+
+            prev = fe.cameras[idx - self.use_every_n_frames]
+            visibility = fe.track(cam, prev, self.proj)
+            frames_since_kf += 1
+
+            if last_kf in fe.occ_aware_visibility:
+                create_kf = frames_since_kf >= self.kf_interval and fe.is_keyframe(
+                    idx, last_kf, visibility
+                )
+            else:
+                create_kf = frames_since_kf >= self.kf_interval
+            if len(cur_window) < self.frontend.window_size:
+                union = np.count_nonzero(
+                    visibility | fe.occ_aware_visibility.get(last_kf, visibility)
+                )
+                intersection = np.count_nonzero(
+                    visibility & fe.occ_aware_visibility.get(last_kf, visibility)
+                )
+                point_ratio = intersection / max(union, 1)
+                create_kf = (
+                    frames_since_kf >= self.kf_interval
+                    and point_ratio < self.config["Training"]["kf_overlap"]
+                )
+            if not create_kf:
+                continue
+
+            # Keyframe: window update + backend mapping.
+            cur_window, removed = fe.add_to_window(idx, visibility, cur_window)
+            fe.current_window = cur_window
+            fe.kf_indices.append(idx)
+            fe.occ_aware_visibility[idx] = visibility
+            depthmap = fe.new_keyframe_depth(cam)
+            be.viewpoints[idx] = cam
+            be.current_window = cur_window
+            be.add_next_kf(idx, cam, depthmap)
+            be.reset_keyframe_optimizer(self.frontend.window_size + 2)
+            be.map(cur_window, iters=iter_per_kf, lang_run=be.lang_train)
+            be.map(cur_window, prune=True)
+            self._sync_frontend_state()
+            last_kf = idx
+            frames_since_kf = 0
+
+        self.fps = n / (time.time() - t_start)
+        return self
+
+    def finalize(self, color_refinement_iters: Optional[int] = None):
+        if color_refinement_iters:
+            self.backend.color_refinement(color_refinement_iters)
+            self._sync_frontend_state()
+        return self

@@ -1,0 +1,65 @@
+"""End-to-end SLAM smoke test on the synthetic RGB-D sequence (CPU).
+
+Covers the full online loop: map initialization from the first frame,
+per-frame tracking with pose-Adam + retraction, keyframe selection and
+window management, windowed mapping with densify/prune cadence, language
+fusion (zero-supervision fallback), and evaluation (ATE + PSNR/SSIM).
+"""
+
+import numpy as np
+import pytest
+
+from online_lang_splatting_tpu.slam.config import load_config
+from online_lang_splatting_tpu.slam.system import SLAM
+
+
+@pytest.fixture(scope="module")
+def slam_run():
+    config = load_config("configs/synthetic/smoke.yaml")
+    slam = SLAM(config)
+    slam.run(max_frames=10)
+    return slam
+
+
+def test_map_grows(slam_run):
+    n_active = int(slam_run.backend.aux.active.sum())
+    assert n_active > 100
+
+
+def test_keyframes_created(slam_run):
+    assert len(slam_run.frontend.kf_indices) >= 2
+    assert 0 in slam_run.frontend.kf_indices
+
+
+def test_tracking_stays_reasonable(slam_run):
+    """Estimated trajectory should be in the right ballpark (synthetic
+    motion is a few cm per frame)."""
+    fe = slam_run.frontend
+    errs = []
+    for idx, cam in fe.cameras.items():
+        err = np.linalg.norm(cam.t - cam.t_gt)
+        errs.append(err)
+    assert np.median(errs) < 0.5
+
+
+def test_rendering_quality(slam_run):
+    from online_lang_splatting_tpu.slam import evaluation
+
+    metrics = evaluation.evaluate_run(slam_run, every=1)
+    assert np.isfinite(metrics["mean_psnr"])
+    # Synthetic scene after a very short smoke run: loose sanity floor.
+    assert metrics["mean_psnr"] > 7.5
+    assert np.isfinite(metrics["ate_rmse"])
+
+
+def test_language_channels_render(slam_run):
+    from online_lang_splatting_tpu.slam.renderer import activate, render
+    import jax.numpy as jnp
+
+    be = slam_run.backend
+    inputs = activate(be.params, be.aux.active)
+    cam = slam_run.frontend.cameras[0]
+    view = jnp.asarray(cam.world_view_transform)
+    out = render(inputs, view, slam_run.proj, slam_run.settings)
+    assert out.language.shape[0] == 15
+    assert bool(jnp.isfinite(out.language).all())
