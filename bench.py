@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark: dense language-feature-map throughput on one TPU chip.
+
+Measures the headline number of the reference (>40 FPS for 192x192x768
+CLIP feature maps via SED ConvNeXt-L + HR head on an RTX A4500,
+README.md:29) on our fused JAX pipeline: frame -> normalize -> resize 768²
+-> ConvNeXt-L dense CLIP -> HR refinement -> (192,192,768), plus the
+15-d autoencoder encode. Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 40.0  # reference claim on RTX A4500
+
+
+def main():
+    import jax
+
+    # Persistent compile cache: the ConvNeXt-L 768² program is a long
+    # compile through the remote-compile tunnel; cache it across runs.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from online_lang_splatting_tpu.models.sed import LangFeatureExtractor
+
+    extractor = LangFeatureExtractor(rng=jax.random.key(0))
+    frame = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, (680, 1200, 3)),
+        dtype=jnp.float32,
+    )
+
+    def run():
+        return extractor._encode_frame(
+            extractor.visual_params, extractor.hr_variables,
+            extractor.ae_variables, frame,
+        )
+
+    out = jax.block_until_ready(run())  # compile
+    assert out.shape == (192, 192, 15), out.shape
+
+    n = 20
+    t0 = time.time()
+    for _ in range(n):
+        out = run()
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / n
+    fps = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "lang_feature_map_fps_192x192x768",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,101 @@
+"""LERF-protocol open-vocabulary relevancy scoring — JAX.
+
+Re-implementation of the reference `OpenCLIPNetwork`
+(/root/reference/eval/openclip_encoder.py:6-106): text queries are scored
+against the four canonical negatives ("object", "things", "stuff",
+"texture") with pairwise softmax(10·sim) and a min-over-negatives
+reduction; `get_max_across` produces (levels, prompts, H, W) relevancy
+maps and `get_semantic_map` an argmax classifier with negative rejection.
+
+Text embeddings come from the converted CLIP text tower; for offline use
+they can also be precomputed and passed as arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEGATIVES = ("object", "things", "stuff", "texture")
+
+
+def _l2n(x, eps=1e-9):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+class CLIPRelevancy:
+    """Holds normalized positive/negative text embeddings and scores maps."""
+
+    def __init__(self, text_params=None, tokenizer=None, *,
+                 pos_embeds=None, neg_embeds=None):
+        self._text_params = text_params
+        self._tokenizer = tokenizer
+        self.pos_embeds = None if pos_embeds is None else _l2n(jnp.asarray(pos_embeds))
+        if neg_embeds is not None:
+            self.neg_embeds = _l2n(jnp.asarray(neg_embeds))
+        elif text_params is not None:
+            self.neg_embeds = self._encode(list(NEGATIVES))
+        else:
+            raise ValueError("need text tower params or precomputed neg_embeds")
+        self.positives: list[str] = []
+        self.semantic_embeds = None
+
+    def _encode(self, texts):
+        from ..models.text_tower import TextTower
+
+        tokens = jnp.asarray(self._tokenizer(texts))
+        emb = TextTower().apply({"params": self._text_params}, tokens)
+        return _l2n(emb)
+
+    def set_positives(self, texts):
+        self.positives = list(texts)
+        self.pos_embeds = self._encode(self.positives)
+
+    def set_positive_embeds(self, embeds, names=None):
+        self.pos_embeds = _l2n(jnp.asarray(embeds))
+        self.positives = names or [str(i) for i in range(len(embeds))]
+
+    def set_semantics(self, texts):
+        self.semantic_labels = list(texts)
+        self.semantic_embeds = self._encode(texts)
+
+    def get_relevancy(self, embed: jax.Array, positive_id: int) -> jax.Array:
+        """embed (N, D) normalized-ish CLIP features → (N, 2) [pos, neg]
+        pairwise softmax probabilities at the hardest negative."""
+        phrases = jnp.concatenate([self.pos_embeds, self.neg_embeds], axis=0)
+        output = embed @ phrases.T
+        pos = output[:, positive_id : positive_id + 1]
+        neg = output[:, len(self.pos_embeds):]
+        n_neg = neg.shape[1]
+        sims = jnp.stack(
+            [jnp.repeat(pos, n_neg, axis=1), neg], axis=-1
+        )  # (N, n_neg, 2)
+        softmax = jax.nn.softmax(10 * sims, axis=-1)
+        best = jnp.argmin(softmax[..., 0], axis=1)
+        return softmax[jnp.arange(embed.shape[0]), best]
+
+    def get_max_across(self, sem_map: jax.Array) -> jax.Array:
+        """sem_map (levels, H, W, D) → relevancy (levels, prompts, H, W)."""
+        n_levels, h, w, d = sem_map.shape
+        flat = sem_map.reshape(n_levels, -1, d)
+        out = []
+        for i in range(n_levels):
+            per_prompt = [
+                self.get_relevancy(flat[i], j)[:, 0].reshape(h, w)
+                for j in range(len(self.pos_embeds))
+            ]
+            out.append(jnp.stack(per_prompt))
+        return jnp.stack(out)
+
+    def get_semantic_map(self, sem_map: jax.Array) -> jax.Array:
+        """(levels, H, W, D) → (levels, H, W) int labels; -1 = background."""
+        n_levels, h, w, d = sem_map.shape
+        pos_num = self.semantic_embeds.shape[0]
+        phrases = jnp.concatenate([self.semantic_embeds, self.neg_embeds], 0)
+        logits = sem_map.reshape(n_levels, -1, d) @ phrases.T
+        pred = jnp.argmax(jax.nn.softmax(10 * logits, axis=-1), axis=-1)
+        pred = jnp.where(pred >= pos_num, -1, pred)
+        return pred.reshape(n_levels, h, w)

@@ -61,6 +61,14 @@ class ConvNeXtBlock(nn.Module):
         return x + gamma * y
 
 
+class _ScanBlock(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, _):
+        return ConvNeXtBlock(self.dim, name="block")(x), None
+
+
 class ConvNeXtStage(nn.Module):
     dim: int
     depth: int
@@ -71,8 +79,16 @@ class ConvNeXtStage(nn.Module):
         if self.downsample:
             x = nn.LayerNorm(epsilon=1e-6, name="ds_norm")(x)
             x = nn.Conv(self.dim, (2, 2), strides=2, padding="VALID", name="ds_conv")(x)
-        for i in range(self.depth):
-            x = ConvNeXtBlock(self.dim, name=f"block{i}")(x)
+        # Blocks are identical in shape; scan over stacked parameters keeps
+        # the traced program O(1) in depth (compile-time matters: stage 2
+        # has 27 blocks).
+        blocks = nn.scan(
+            _ScanBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.depth,
+        )(self.dim, name="blocks")
+        x, _ = blocks(x, None)
         return x
 
 

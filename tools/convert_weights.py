@@ -74,9 +74,12 @@ def convert_visual(sd: dict, depths=(3, 3, 27, 3)) -> dict:
                 "kernel": conv(sd[pre + f"stages.{s}.downsample.1.weight"]),
                 "bias": _t(sd[pre + f"stages.{s}.downsample.1.bias"]),
             }
+        # Blocks are executed via nn.scan: stack each parameter along a
+        # leading depth axis.
+        per_block = []
         for b in range(depths[s]):
             bp = pre + f"stages.{s}.blocks.{b}."
-            stage[f"block{b}"] = {
+            per_block.append({
                 "dwconv": {"kernel": dwconv(sd[bp + "conv_dw.weight"]),
                            "bias": _t(sd[bp + "conv_dw.bias"])},
                 "norm": {"scale": _t(sd[bp + "norm.weight"]),
@@ -86,7 +89,17 @@ def convert_visual(sd: dict, depths=(3, 3, 27, 3)) -> dict:
                 "mlp_fc2": {"kernel": _t(sd[bp + "mlp.fc2.weight"]).T,
                             "bias": _t(sd[bp + "mlp.fc2.bias"])},
                 "gamma": _t(sd[bp + "gamma"]),
-            }
+            })
+
+        def stack(paths):
+            def rec(nodes):
+                if isinstance(nodes[0], dict):
+                    return {k: rec([n[k] for n in nodes]) for k in nodes[0]}
+                return np.stack(nodes, axis=0)
+
+            return rec(paths)
+
+        stage["blocks"] = {"block": stack(per_block)}
         p[f"stage{s}"] = stage
     # trunk head norm (timm NormMlpClassifierHead norm) + open_clip mlp head
     p["head_norm"] = {"scale": _t(sd[pre + "head.norm.weight"]),
