@@ -31,25 +31,35 @@ def main():
     from online_lang_splatting_tpu.models.sed import LangFeatureExtractor
 
     extractor = LangFeatureExtractor(rng=jax.random.key(0))
-    frame = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 255, (680, 1200, 3)),
-        dtype=jnp.float32,
-    )
+    # Distinct frames each call — identical-input loops can be elided by
+    # runtime caching layers and report fictitious throughput.
+    rng = np.random.default_rng(0)
+    frames = [
+        jnp.asarray(rng.uniform(0, 255, (680, 1200, 3)), dtype=jnp.float32)
+        for _ in range(16)
+    ]
 
-    def run():
+    def run(f):
         return extractor._encode_frame(
             extractor.visual_params, extractor.hr_variables,
-            extractor.ae_variables, frame,
+            extractor.ae_variables, f,
         )
 
-    out = jax.block_until_ready(run())  # compile
+    out = jax.block_until_ready(run(frames[0]))  # compile single-frame path
     assert out.shape == (192, 192, 15), out.shape
 
-    n = 20
+    # Throughput: dispatch N distinct frames asynchronously, then combine
+    # all outputs with one small jitted reduction whose scalar is fetched
+    # to host — forcing real completion of every frame. (Bare
+    # block_until_ready has proven unreliable under the remote-execution
+    # runtime; per-frame eager reductions would each pay a round trip.)
+    combine = jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))
+    _ = float(combine([out] * len(frames)))  # compile combiner
+
+    n = len(frames)  # all-distinct inputs defeat any result caching
     t0 = time.time()
-    for _ in range(n):
-        out = run()
-    jax.block_until_ready(out)
+    outs = [run(f) for f in frames]
+    _ = float(combine(outs))
     dt = (time.time() - t0) / n
     fps = 1.0 / dt
 

@@ -78,6 +78,12 @@ class SLAM:
         self.single_thread = config["Training"].get("single_thread", True)
         self.eval_rendering = config.get("Results", {}).get("eval_rendering", False)
         self.fps = None
+        self.viewer = None
+        if config.get("Results", {}).get("use_gui", False):
+            from ..gui.viewer import HeadlessViewer
+
+            out = (save_dir or "results") / "viewer" if save_dir else "results/viewer"
+            self.viewer = HeadlessViewer(str(out))
 
     # -- single-thread driver ----------------------------------------------
 
@@ -124,6 +130,16 @@ class SLAM:
             prev = fe.cameras[idx - self.use_every_n_frames]
             visibility = fe.track(cam, prev, self.proj)
             frames_since_kf += 1
+            if self.viewer is not None:
+                from ..gui.viewer import GaussianPacket
+
+                self.viewer.submit(GaussianPacket(
+                    render_inputs=fe.render_inputs,
+                    view=cam.world_view_transform, proj=self.proj,
+                    settings=self.settings, gtcolor=cam.image,
+                    gtdepth=cam.depth, frame_idx=idx,
+                    keyframe_window=list(cur_window),
+                ))
 
             if last_kf in fe.occ_aware_visibility:
                 create_kf = frames_since_kf >= self.kf_interval and fe.is_keyframe(
