@@ -100,6 +100,11 @@ class SLAM:
                 self.frontend.cameras[idx].update_rt(cam.r, cam.t)
 
     def run(self, max_frames: Optional[int] = None):
+        if self.single_thread:
+            return self.run_single_thread(max_frames)
+        return self.run_threaded(max_frames)
+
+    def run_single_thread(self, max_frames: Optional[int] = None):
         t_start = time.time()
         n = len(self.dataset)
         if max_frames is not None:
@@ -178,6 +183,143 @@ class SLAM:
             last_kf = idx
             frames_since_kf = 0
 
+        self.fps = n / (time.time() - t_start)
+        return self
+
+    def run_threaded(self, max_frames: Optional[int] = None):
+        """Asynchronous frontend/backend (reference `single_thread: False`).
+
+        The reference runs two OS processes sharing one GPU over
+        torch.multiprocessing queues (slam.py:110-163); here two host
+        threads share one chip: the backend thread drains its queue
+        (init / keyframe / stop) and runs idle-time mapping, pushing map
+        snapshots (immutable pytrees — no cloning needed) back; the
+        frontend tracks frames against its latest snapshot and pauses
+        while a keyframe request is in flight, like the reference's
+        `requested_keyframe` gate.
+        """
+        t_start = time.time()
+        n = len(self.dataset)
+        if max_frames is not None:
+            n = min(n, max_frames)
+        fe, be = self.frontend, self.backend
+        iter_per_kf = be.mapping_itr_num
+        state = {"window": [], "requested_kf": 0, "stop": False}
+        lock = threading.Lock()
+
+        def push_snapshot():
+            snap_inputs = activate(be.params, be.aux.active)
+            occ = dict(be.occ_aware_visibility)
+            poses = {
+                i: (c.r.copy(), c.t.copy()) for i, c in be.viewpoints.items()
+            }
+            self.frontend_queue.put(["sync_backend", snap_inputs, occ, poses])
+
+        def backend_loop():
+            while True:
+                try:
+                    msg = self.backend_queue.get(timeout=0.01)
+                except queue.Empty:
+                    if be.initialized and be.current_window:
+                        be.map(be.current_window, iters=1, lang_run=be.lang_train)
+                        if be.iteration_count % 10 == 0:
+                            push_snapshot()
+                    continue
+                if msg[0] == "stop":
+                    return
+                if msg[0] == "init":
+                    _, idx, cam, depthmap = msg
+                    be.add_next_kf(idx, cam, depthmap, init=True)
+                    be.initialize_map(idx, cam)
+                    be.current_window = [idx]
+                    push_snapshot()
+                    self.frontend_queue.put(["init_done"])
+                elif msg[0] == "keyframe":
+                    _, idx, cam, window, depthmap = msg
+                    be.viewpoints[idx] = cam
+                    be.current_window = list(window)
+                    be.add_next_kf(idx, cam, depthmap)
+                    be.reset_keyframe_optimizer(fe.window_size + 2)
+                    be.map(window, iters=iter_per_kf, lang_run=be.lang_train)
+                    be.map(window, prune=True)
+                    push_snapshot()
+                    self.frontend_queue.put(["keyframe_done", idx])
+                elif msg[0] == "color_refinement":
+                    be.color_refinement()
+                    push_snapshot()
+                    self.frontend_queue.put(["refine_done"])
+
+        def drain_frontend_queue(block=False):
+            while True:
+                try:
+                    msg = self.frontend_queue.get(timeout=5.0 if block else 0.0)
+                except queue.Empty:
+                    return
+                if msg[0] == "sync_backend":
+                    _, snap_inputs, occ, poses = msg
+                    fe.render_inputs = snap_inputs
+                    fe.occ_aware_visibility = occ
+                    for i, (r, t) in poses.items():
+                        if i in fe.cameras:
+                            fe.cameras[i].update_rt(r, t)
+                elif msg[0] in ("init_done", "keyframe_done", "refine_done"):
+                    state["requested_kf"] = max(0, state["requested_kf"] - 1)
+                if block and state["requested_kf"] == 0:
+                    return
+
+        bt = threading.Thread(target=backend_loop, daemon=True)
+        bt.start()
+        cur_window: list[int] = []
+        last_kf = 0
+        frames_since_kf = 0
+        for idx in range(n):
+            cam = Camera.from_dataset(self.dataset, idx)
+            cam.compute_grad_mask(self.config)
+            fe.cameras[idx] = cam
+            if idx == 0:
+                cam.update_rt(cam.r_gt, cam.t_gt)
+                state["requested_kf"] = 1
+                self.backend_queue.put(
+                    ["init", 0, cam, fe.new_keyframe_depth(cam)]
+                )
+                drain_frontend_queue(block=True)
+                cur_window = [0]
+                fe.kf_indices = [0]
+                continue
+            while state["requested_kf"] > 0:
+                drain_frontend_queue(block=True)
+            drain_frontend_queue()
+            prev = fe.cameras[idx - 1]
+            visibility = fe.track(cam, prev, self.proj)
+            frames_since_kf += 1
+            create_kf = frames_since_kf >= self.kf_interval and (
+                last_kf in fe.occ_aware_visibility
+                and fe.is_keyframe(idx, last_kf, visibility)
+            )
+            if len(cur_window) < fe.window_size:
+                occ0 = fe.occ_aware_visibility.get(last_kf, visibility)
+                union = np.count_nonzero(visibility | occ0)
+                inter = np.count_nonzero(visibility & occ0)
+                create_kf = (
+                    frames_since_kf >= self.kf_interval
+                    and inter / max(union, 1) < self.config["Training"]["kf_overlap"]
+                )
+            if create_kf:
+                cur_window, _ = fe.add_to_window(idx, visibility, cur_window)
+                fe.kf_indices.append(idx)
+                fe.occ_aware_visibility[idx] = visibility
+                state["requested_kf"] += 1
+                self.backend_queue.put([
+                    "keyframe", idx, cam, list(cur_window),
+                    fe.new_keyframe_depth(cam),
+                ])
+                last_kf = idx
+                frames_since_kf = 0
+        while state["requested_kf"] > 0:
+            drain_frontend_queue(block=True)
+        self.backend_queue.put(["stop"])
+        bt.join(timeout=60)
+        self._sync_frontend_state()
         self.fps = n / (time.time() - t_start)
         return self
 

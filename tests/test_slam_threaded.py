@@ -1,0 +1,24 @@
+"""Dual-thread frontend/backend mode (single_thread: False)."""
+
+import numpy as np
+import pytest
+
+from online_lang_splatting_tpu.slam.config import load_config
+from online_lang_splatting_tpu.slam.system import SLAM
+
+
+def test_threaded_run_matches_protocol():
+    config = load_config("configs/synthetic/smoke.yaml")
+    config["Training"]["single_thread"] = False
+    config["Training"]["init_itr_num"] = 15
+    config["Training"]["mapping_itr_num"] = 5
+    config["Training"]["tracking_itr_num"] = 15
+    slam = SLAM(config)
+    slam.run(max_frames=8)
+    assert len(slam.frontend.kf_indices) >= 1
+    assert int(slam.backend.aux.active.sum()) > 100
+    # Tracking produced finite poses.
+    for cam in slam.frontend.cameras.values():
+        assert np.isfinite(cam.t).all()
+    # Frontend received at least one backend snapshot.
+    assert slam.frontend.render_inputs is not None
