@@ -146,7 +146,15 @@ def evaluate_scene(
     labelme-style JSON annotations per frame (reference
     create_replica_labels.py format)."""
     lang_dir = Path(lang_dir)
-    anns = json.loads(Path(ann_path).read_text())
+    ann_path = Path(ann_path)
+    anns = json.loads(ann_path.read_text())
+    # Resolve mask_file references (create_replica_labels.py output format).
+    for frame_ann in anns.values():
+        for q in frame_ann.values():
+            if "mask_file" in q and "mask" not in q:
+                q["mask"] = np.load(ann_path.parent / q["mask_file"])
+            q["mask"] = np.asarray(q["mask"])
+            q["bboxes"] = np.asarray(q["bboxes"])
     iou_all, acc, total = [], 0, 0
     for frame_name, img_ann in anns.items():
         f = lang_dir / f"{frame_name}.npy"

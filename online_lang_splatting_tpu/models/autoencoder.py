@@ -111,6 +111,53 @@ class EncoderDecoderOnline(nn.Module):
 # Losses / training
 
 
+class IncrementalPCA:
+    """Streaming PCA (reference EncoderDecoderOnline 'pca' mode, which
+    wrapped sklearn.IncrementalPCA — "we found mlp autoencoder is better
+    than PCA", model.py:336). Mean/covariance accumulate across
+    partial_fit batches; components from an eigendecomposition."""
+
+    def __init__(self, n_components: int = 15):
+        self.n_components = n_components
+        self.count = 0
+        self.mean = None
+        self.cov_sum = None
+        self.components = None
+
+    def partial_fit(self, x):
+        import numpy as np
+
+        x = np.asarray(x, np.float64)
+        if self.mean is None:
+            self.mean = np.zeros(x.shape[1])
+            self.cov_sum = np.zeros((x.shape[1], x.shape[1]))
+        n_new = len(x)
+        total = self.count + n_new
+        delta = x.mean(axis=0) - self.mean
+        xc = x - x.mean(axis=0)
+        self.cov_sum += xc.T @ xc + np.outer(delta, delta) * (
+            self.count * n_new / total
+        )
+        self.mean += delta * n_new / total
+        self.count = total
+        w, v = np.linalg.eigh(self.cov_sum / max(self.count - 1, 1))
+        self.components = v[:, ::-1][:, : self.n_components].T
+
+    @property
+    def is_fitted(self):
+        return self.components is not None
+
+    def transform(self, x):
+        import numpy as np
+
+        return (np.asarray(x) - self.mean) @ self.components.T
+
+    def inverse_transform(self, z):
+        import numpy as np
+
+        return np.asarray(z) @ self.components + self.mean
+
+
 def offline_loss(pred, target, cos_weight: float = 0.001):
     l2 = jnp.mean(jnp.square(pred - target))
     cos = jnp.mean(1.0 - jnp.sum(_l2n(pred) * _l2n(target), axis=-1))

@@ -237,6 +237,92 @@ class SyntheticDataset(BaseDataset):
         return color, depth, w2c.astype(np.float32), None, None
 
 
+class EuRoCDataset(BaseDataset):
+    """EuRoC MAV stereo: SGBM depth from the cam0/cam1 pair
+    (reference dataset.py StereoDataset + EuRoCParser)."""
+
+    def __init__(self, config: dict):
+        super().__init__(config)
+        root = Path(config["Dataset"]["dataset_path"])
+        start = config["Dataset"].get("start_idx", 0)
+        self.color_paths = _natsorted(
+            [str(p) for p in (root / "mav0/cam0/data").glob("*.png")]
+        )[start:]
+        self.color_paths_r = _natsorted(
+            [str(p) for p in (root / "mav0/cam1/data").glob("*.png")]
+        )[start:]
+        # Ground truth from state estimate CSV, matched by timestamp.
+        gt_file = root / "mav0/state_groundtruth_estimate0/data.csv"
+        rows = np.genfromtxt(gt_file, delimiter=",", skip_header=1)
+        t_gt = rows[:, 0]
+        stamps = np.array([float(Path(p).stem) for p in self.color_paths])
+        self.poses = []
+        keep = []
+        for i, t in enumerate(stamps):
+            j = int(np.argmin(np.abs(t_gt - t)))
+            if abs(t_gt[j] - t) > 0.05e9:
+                continue
+            q = rows[j, 4:8]  # qw qx qy qz
+            c2w = np.eye(4)
+            c2w[:3, :3] = _quat_to_rot([q[1], q[2], q[3], q[0]])
+            c2w[:3, 3] = rows[j, 1:4]
+            self.poses.append(np.linalg.inv(c2w))
+            keep.append(i)
+        self.color_paths = [self.color_paths[i] for i in keep]
+        self.color_paths_r = [self.color_paths_r[i] for i in keep]
+
+    def __getitem__(self, idx):
+        import cv2
+
+        left = cv2.imread(self.color_paths[idx], cv2.IMREAD_GRAYSCALE)
+        right = cv2.imread(self.color_paths_r[idx], cv2.IMREAD_GRAYSCALE)
+        sgbm = cv2.StereoSGBM_create(
+            minDisparity=0, numDisparities=64, blockSize=8,
+            P1=8 * 9 * 9, P2=32 * 9 * 9,
+        )
+        disp = sgbm.compute(left, right).astype(np.float32) / 32.0
+        baseline_fx = self.config["Dataset"].get("baseline_fx", 47.9)
+        depth = np.where(disp > 0, baseline_fx / np.maximum(disp, 1e-3), 0.0)
+        color = np.repeat(left[None].astype(np.float32) / 255.0, 3, axis=0)
+        return (
+            np.clip(color, 0, 1), depth.astype(np.float32),
+            self.poses[idx].astype(np.float32), None, None,
+        )
+
+
+class RealsenseDataset(BaseDataset):
+    """Live RealSense RGB-D capture (reference dataset.py:528-623).
+    Requires pyrealsense2; frames stream with identity poses (SLAM
+    estimates them)."""
+
+    def __init__(self, config: dict):
+        super().__init__(config)
+        try:
+            import pyrealsense2 as rs
+        except ImportError as e:
+            raise ImportError(
+                "RealsenseDataset requires pyrealsense2 (live capture only)"
+            ) from e
+        self.rs = rs
+        self.pipeline = rs.pipeline()
+        cfg = rs.config()
+        cfg.enable_stream(rs.stream.depth, 640, 480, rs.format.z16, 30)
+        cfg.enable_stream(rs.stream.color, 640, 480, rs.format.rgb8, 30)
+        self.profile = self.pipeline.start(cfg)
+        self.align = rs.align(rs.stream.color)
+        self.n = config["Dataset"].get("num_frames", 10_000)
+        self.color_paths = ["<live>"] * self.n
+        self.poses = [np.eye(4, dtype=np.float32)] * self.n
+
+    def __getitem__(self, idx):
+        frames = self.align.process(self.pipeline.wait_for_frames())
+        color = np.asanyarray(frames.get_color_frame().get_data())
+        depth = np.asanyarray(frames.get_depth_frame().get_data())
+        color = np.transpose(color.astype(np.float32) / 255.0, (2, 0, 1))
+        depth = depth.astype(np.float32) / self.depth_scale
+        return np.clip(color, 0, 1), depth, np.eye(4, dtype=np.float32), None, None
+
+
 def load_dataset(config: dict) -> BaseDataset:
     kind = config["Dataset"]["type"]
     if kind == "replicav2":
@@ -245,6 +331,10 @@ def load_dataset(config: dict) -> BaseDataset:
         return ReplicaDataset(config)
     if kind == "tum":
         return TUMDataset(config)
+    if kind == "euroc":
+        return EuRoCDataset(config)
+    if kind == "realsense":
+        return RealsenseDataset(config)
     if kind == "synthetic":
         return SyntheticDataset(config)
     raise ValueError(f"Unknown dataset type: {kind}")
