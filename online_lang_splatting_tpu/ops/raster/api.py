@@ -50,6 +50,9 @@ class RasterOutput(NamedTuple):
     radii: jax.Array       # (P,) int32
     n_touched: jax.Array   # (P,) int32
     final_t: jax.Array     # (H, W)
+    num_instances: jax.Array  # () int32 — Gaussian-tile instances this frame
+    overflow: jax.Array       # () bool — instance capacity exceeded (output
+                              # truncated; re-render with a larger bucket)
 
 
 def rasterize(
@@ -146,4 +149,6 @@ def _rasterize_highp(
         radii=prep.radius,
         n_touched=out.n_touched,
         final_t=out.final_t,
+        num_instances=out.num_instances,
+        overflow=out.overflow,
     )

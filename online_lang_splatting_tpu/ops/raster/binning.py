@@ -60,21 +60,42 @@ def bin_gaussians(
     total = cum[-1]
     offsets = cum - tiles_touched  # exclusive
 
-    # Expand instances: instance i belongs to gaussian g(i) via searchsorted.
+    # Expand instances: instance i belongs to gaussian g(i). A searchsorted
+    # over millions of instances costs ~log(P) random gathers each (the
+    # dominant cost of the whole pipeline on TPU); instead scatter each
+    # Gaussian's id at its first instance slot and take a running max —
+    # one scatter of P values + one associative scan.
     inst = jnp.arange(cap, dtype=jnp.int32)
-    gid = jnp.searchsorted(cum, inst, side="right").astype(jnp.int32)
-    gid_c = jnp.minimum(gid, p - 1)
-    local = inst - offsets[gid_c]
-    rect_min = prep.rect_min[gid_c]
-    width = jnp.maximum(prep.rect_max[gid_c, 0] - rect_min[:, 0], 1)
-    tx = rect_min[:, 0] + local % width
-    ty = rect_min[:, 1] + local // width
+    start_marks = jnp.full((cap,), -1, jnp.int32).at[
+        jnp.where(tiles_touched > 0, offsets, cap)
+    ].max(jnp.arange(p, dtype=jnp.int32), mode="drop")
+    gid_c = jnp.maximum(jax.lax.cummax(start_marks), 0)
+    # One wide-row gather of everything the expansion needs (separate
+    # column gathers each pay full random-access cost). f32 holds these
+    # ints exactly (all < 2^24).
+    gtable = jnp.stack(
+        [
+            offsets.astype(jnp.float32),
+            prep.rect_min[:, 0].astype(jnp.float32),
+            prep.rect_min[:, 1].astype(jnp.float32),
+            jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1).astype(
+                jnp.float32
+            ),
+            prep.depth,
+        ],
+        axis=1,
+    )
+    rows = gtable[gid_c]
+    local = inst - rows[:, 0].astype(jnp.int32)
+    width = rows[:, 3].astype(jnp.int32)
+    tx = rows[:, 1].astype(jnp.int32) + local % width
+    ty = rows[:, 2].astype(jnp.int32) + local // width
     tile = ty * tiles_x + tx
     inst_valid = inst < total
     tile = jnp.where(inst_valid, tile, num_tiles)
 
     # Sort instances by (tile, depth), stable in gaussian order.
-    depth = jnp.where(inst_valid, prep.depth[gid_c], jnp.inf)
+    depth = jnp.where(inst_valid, rows[:, 4], jnp.inf)
     s_tile, _, s_gid = jax.lax.sort(
         (tile, depth, gid_c), num_keys=2, is_stable=True
     )
@@ -92,11 +113,28 @@ def bin_gaussians(
     pstarts = pcum - padded
 
     slot = jnp.arange(slot_cap, dtype=jnp.int32)
-    slot_tile = jnp.searchsorted(pcum, slot, side="right").astype(jnp.int32)
-    slot_tile_c = jnp.minimum(slot_tile, num_tiles - 1)
-    l = slot - pstarts[slot_tile_c]
-    slot_ok = (slot < total_padded) & (l < counts[slot_tile_c])
-    src = jnp.minimum(starts[slot_tile_c] + l, cap - 1)
+    # Expand per-tile quantities to slots with the same scatter+scan trick
+    # as the gaussian-id expansion above. tile id, sorted-range start,
+    # padded start, and data end are all nondecreasing along slots, so a
+    # running max after scattering at each tile's first slot reconstructs
+    # them without any large gathers.
+    scatter_idx = jnp.where(padded > 0, pstarts, slot_cap)
+    # All four expansions ride ONE scatter + ONE cummax over a (4, S) batch.
+    vals = jnp.stack(
+        [
+            tile_ids, starts, pstarts.astype(jnp.int32),
+            (pstarts + counts).astype(jnp.int32),
+        ],
+        axis=0,
+    )
+    marks = jnp.full((4, slot_cap), -1, jnp.int32).at[:, scatter_idx].max(
+        vals, mode="drop"
+    )
+    expanded = jnp.maximum(jax.lax.cummax(marks, axis=1), 0)
+    slot_tile, slot_start, slot_pstart, slot_data_end = expanded
+    l = slot - slot_pstart
+    slot_ok = (slot < total_padded) & (slot < slot_data_end)
+    src = jnp.minimum(slot_start + l, cap - 1)
     point_list = jnp.where(slot_ok, s_gid[src], -1)
     slot_tile = jnp.where(slot < total_padded, slot_tile, num_tiles)
 

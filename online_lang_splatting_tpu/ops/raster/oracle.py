@@ -32,6 +32,8 @@ class BlendOutput(NamedTuple):
     final_t: jax.Array    # (H, W)
     n_contrib: jax.Array  # (H, W) int32
     n_touched: jax.Array  # (P,) int32
+    num_instances: jax.Array = None  # () int32 (tiled backend)
+    overflow: jax.Array = None       # () bool (tiled backend)
 
 
 def blend_oracle(
@@ -138,4 +140,6 @@ def blend_oracle(
         final_t=t.reshape(height, width),
         n_contrib=n_contrib.reshape(height, width),
         n_touched=n_touched,
+        num_instances=jnp.sum(prep.tiles_touched),
+        overflow=jnp.zeros((), bool),
     )

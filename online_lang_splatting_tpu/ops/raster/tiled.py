@@ -46,7 +46,7 @@ from . import config as C
 from .binning import Binning, bin_gaussians
 from .preprocess import Preprocessed
 
-CHUNK = 128
+CHUNK = 256
 
 # geom rows: x, y, conic_a, conic_b, conic_c, opacity, valid, (pad)
 GEOM_ROWS = 8
@@ -306,29 +306,31 @@ class _BlendAux(NamedTuple):
 
 
 def _pack_instances(xy, conic, opacity, color, lang, depth, point_list):
-    """Gather per-Gaussian data into transposed per-instance arrays."""
+    """Gather per-Gaussian data into transposed per-instance arrays.
+
+    One wide-row gather: per-column gathers cost ~log-free but scalar-width
+    HBM access each; a single (P, D)-row gather moves the same bytes an
+    order of magnitude faster on TPU."""
     s = point_list.shape[0]
     ids = jnp.maximum(point_list, 0)
     valid = (point_list >= 0).astype(jnp.float32)
-    geom = jnp.stack(
-        [
-            xy[ids, 0], xy[ids, 1],
-            conic[ids, 0], conic[ids, 1], conic[ids, 2],
-            opacity[ids], valid, jnp.zeros((s,), jnp.float32),
-        ],
-        axis=0,
-    )  # (8, S)
     f_lang = lang.shape[1]
     f_out = 3 + f_lang + 1
     # Reserve one extra row: final_T rides as channel f_out in the output.
     f_pad = ((f_out + 1 + 7) // 8) * 8
-    feat = jnp.concatenate(
-        [color[ids].T, lang[ids].T, depth[ids][None, :]], axis=0
+    table = jnp.concatenate(
+        [
+            xy, conic, opacity[:, None],          # geom rows 0..5
+            color, lang, depth[:, None],          # feat rows 0..f_out-1
+        ],
+        axis=1,
+    ).astype(jnp.float32)  # (P, 6 + f_out)
+    rows = table[ids].T  # (6 + f_out, S) — single gather + one relayout
+    geom = jnp.concatenate(
+        [rows[:6], valid[None, :], jnp.zeros((1, s), jnp.float32)], axis=0
     )
-    feat = jnp.pad(feat, ((0, f_pad - f_out), (0, 0)))
-    # Zero features of padding slots so they can't pollute accumulation.
-    feat = feat * valid[None, :]
-    return geom.astype(jnp.float32), feat.astype(jnp.float32), f_pad, f_out
+    feat = jnp.pad(rows[6:], ((0, f_pad - f_out), (0, 0))) * valid[None, :]
+    return geom, feat, f_pad, f_out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
@@ -457,20 +459,21 @@ def _blend_bwd(tile, width, height, residuals, cotangents):
         interpret=_interpret(),
     )(chunk_tile, chunk_first, chunk_last, geom, feat, g_acc, acc_res)
 
-    # Segment-sum per-instance grads back to per-Gaussian grads.
+    # Segment-sum per-instance grads back to per-Gaussian grads as ONE
+    # wide-row scatter-add (six narrow scatters each pay full random-access
+    # cost; a single (S, D) row scatter moves the same bytes far faster).
     p = xy.shape[0]
-    ids = jnp.maximum(point_list, 0)
-    m = (point_list >= 0)[None, :]
-    dgeom = jnp.where(m, dgeom, 0.0)
-    dfeat = jnp.where(m, dfeat, 0.0)
-    d_xy = jnp.zeros((p, 2), xy.dtype).at[ids].add(dgeom[0:2].T)
-    d_conic = jnp.zeros((p, 3), conic.dtype).at[ids].add(dgeom[2:5].T)
-    d_op = jnp.zeros((p,), opacity.dtype).at[ids].add(dgeom[5])
-    d_color = jnp.zeros((p, 3), color.dtype).at[ids].add(dfeat[0:3].T)
-    d_lang = jnp.zeros((p, f_lang), lang.dtype).at[ids].add(
-        dfeat[3 : 3 + f_lang].T
+    ids = jnp.where(point_list >= 0, point_list, p)
+    rows = jnp.concatenate([dgeom[0:6], dfeat[: 3 + f_lang + 1]], axis=0).T
+    table = jnp.zeros((p, rows.shape[1]), xy.dtype).at[ids].add(
+        rows, mode="drop"
     )
-    d_depth = jnp.zeros((p,), depth.dtype).at[ids].add(dfeat[3 + f_lang])
+    d_xy = table[:, 0:2]
+    d_conic = table[:, 2:5]
+    d_op = table[:, 5]
+    d_color = table[:, 6:9]
+    d_lang = table[:, 9 : 9 + f_lang]
+    d_depth = table[:, 9 + f_lang]
     return (d_xy, d_conic, d_op, d_color, d_lang, d_depth,
             None, None, None, None, None)
 
@@ -549,4 +552,6 @@ def blend_tiled(
         final_t=ft_img,
         n_contrib=jnp.zeros((height, width), jnp.int32),
         n_touched=n_touched,
+        num_instances=binning.num_instances,
+        overflow=binning.overflow,
     )

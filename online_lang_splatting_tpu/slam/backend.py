@@ -96,7 +96,7 @@ def mapping_iteration(
         l_lang = jnp.abs(out.language - jnp.transpose(lang_hw, (2, 0, 1))).mean()
         loss = loss + lang_weight * jnp.where(l_on, l_lang, 0.0)
         loss = loss * valid
-        return loss, (out.radii, out.n_touched)
+        return loss, (out.radii, out.n_touched, out.overflow)
 
     zero_m2d = jnp.zeros((cap, 2), jnp.float32)
     zeros3 = jnp.zeros(3, jnp.float32)
@@ -104,7 +104,7 @@ def mapping_iteration(
     def step(carry, slot):
         grad_acc, aux_c, loss_acc = carry
         (r, t, ea, eb, image, depth, lang, l_on, valid, p_opt) = slot
-        (loss, (radii, n_touched)), grads = jax.value_and_grad(
+        (loss, (radii, n_touched, ovf)), grads = jax.value_and_grad(
             kf_loss, argnums=(0, 1, 2, 3, 4, 5), has_aux=True
         )(params, zeros3, zeros3, ea, eb, zero_m2d, r, t, image, depth, lang,
           l_on, valid)
@@ -122,7 +122,7 @@ def mapping_iteration(
             denom=aux_c.denom + visible.astype(jnp.float32),
         )
         return (grad_acc, aux_c, loss_acc + loss), (
-            g_rho, g_theta, g_ea, g_eb, n_touched > 0,
+            g_rho, g_theta, g_ea, g_eb, n_touched > 0, ovf,
         )
 
     grad0 = jax.tree.map(jnp.zeros_like, params)
@@ -131,7 +131,7 @@ def mapping_iteration(
         lang_on, slot_valid.astype(jnp.float32), pose_opt,
     )
     (grads, aux, loss), per_slot = jax.lax.scan(step, (grad0, aux, 0.0), slots)
-    g_rho, g_theta, g_ea, g_eb, occ_vis = per_slot
+    g_rho, g_theta, g_ea, g_eb, occ_vis, slot_ovf = per_slot
 
     # Isotropic regularizer, 10x (slam_backend.py:664-667).
     iso_grad = jax.grad(
@@ -177,7 +177,7 @@ def mapping_iteration(
     return (
         params, opt, aux, new_r, new_t, new_ea, new_eb,
         ((m0, m1, m2, m3), (v0, v1, v2, v3), t_new),
-        occ_vis, loss,
+        occ_vis, loss, jnp.any(slot_ovf),
     )
 
 
@@ -414,7 +414,8 @@ class BackEnd:
              exp_opt) = slots
             pm, pv, pt = self.keyframe_optimizer_state
             (self.params, self.opt, self.aux, new_r, new_t, new_ea, new_eb,
-             self.keyframe_optimizer_state, occ_vis, loss) = mapping_iteration(
+             self.keyframe_optimizer_state, occ_vis, loss,
+             raster_overflow) = mapping_iteration(
                 self.params, self.opt, self.aux, self.proj,
                 jnp.asarray(r), jnp.asarray(t), jnp.asarray(ea), jnp.asarray(eb),
                 pm, pv, pt,
@@ -424,6 +425,14 @@ class BackEnd:
                 self._lrs(), jnp.float32(self.lamda_lang),
                 settings=self.settings, n_slots=n_slots, init_mode=init_mode,
             )
+            if bool(raster_overflow):
+                # Instance pool exhausted: grow the bucket (recompiles once)
+                # — this iteration rendered truncated tails.
+                self.settings = self.settings._replace(
+                    max_instances=self.settings.max_instances * 2
+                )
+                print(f"[backend] raster instance pool grown to "
+                      f"{self.settings.max_instances}")
             # Write back per-KF poses/exposures.
             new_r_h, new_t_h = np.asarray(new_r), np.asarray(new_t)
             new_ea_h, new_eb_h = np.asarray(new_ea), np.asarray(new_eb)

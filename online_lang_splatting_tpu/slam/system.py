@@ -48,7 +48,7 @@ class SLAM:
         tanfovy = math.tan(self.dataset.fovy / 2)
         lang_dim = config.get("language", {}).get("lang_code_size", 15)
         cap0 = config.get("capacity", 1 << 17)
-        avg_dup = config.get("max_instance_factor", 16)
+        avg_dup = config.get("max_instance_factor", 8)
         self.settings = RasterSettings(
             image_height=height, image_width=width,
             tanfovx=tanfovx, tanfovy=tanfovy,
