@@ -41,8 +41,15 @@ class LangFeatureExtractor:
         decoder_dims=None,
         use_hr: bool = True,
         dtype=jnp.float32,
+        compute_dtype=None,
         rng: jax.Array | None = None,
     ):
+        # compute_dtype=jnp.bfloat16 halves HBM traffic and doubles MXU
+        # throughput for the conv towers; the reference's own eval encoder
+        # runs fp16 (eval/openclip_encoder.py precision="fp16"), so half
+        # precision inference is within its accuracy envelope. Outputs are
+        # cast back to `dtype`.
+        self.compute_dtype = compute_dtype or dtype
         from .autoencoder import ONE_STAGE_DEC, ONE_STAGE_ENC
 
         self.visual = ConvNeXtCLIPVisual()
@@ -73,40 +80,53 @@ class LangFeatureExtractor:
 
     # -- pure functions (jit-compiled once per shape) -----------------------
 
+    def _cast(self, tree):
+        import jax
+
+        if self.compute_dtype == self.dtype:
+            return tree
+        return jax.tree.map(
+            lambda x: x.astype(self.compute_dtype)
+            if hasattr(x, "astype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            tree,
+        )
+
     @functools.partial(jax.jit, static_argnums=0)
     def _dense_features(self, visual_params, rgb):
         """rgb: (H, W, 3) float 0-255 → pyramid dict (NHWC, batch of 1)."""
-        x = normalize_image(rgb)[None]
+        x = normalize_image(rgb)[None].astype(self.compute_dtype)
         x = resize_bilinear(x, CLIP_RESOLUTION)
-        return self.visual.apply({"params": visual_params}, x)
+        feats = self.visual.apply({"params": self._cast(visual_params)}, x)
+        return {k: v.astype(self.dtype) for k, v in feats.items()}
 
     @functools.partial(jax.jit, static_argnums=0)
     def _hr_features(self, visual_params, hr_variables, rgb):
-        feats = self.visual.apply(
-            {"params": visual_params},
-            resize_bilinear(normalize_image(rgb)[None], CLIP_RESOLUTION),
-        )
-        hr = self.hr.apply(
-            hr_variables, feats["clip_vis_dense"], feats["res3"], feats["res2"]
-        )
-        return hr, feats
+        hr, feats = self._hr_inner(visual_params, hr_variables, rgb)
+        return hr.astype(self.dtype), {
+            k: v.astype(self.dtype) for k, v in feats.items()
+        }
 
     @functools.partial(jax.jit, static_argnums=0)
     def _encode_frame(self, visual_params, hr_variables, ae_variables, rgb):
         """Fused frame → (192, 192, low_dim) low-dimensional language map."""
         hr, _ = self._hr_inner(visual_params, hr_variables, rgb)
         n, h, w, c = hr.shape
-        flat = hr.reshape(-1, c)
+        # The AE runs in f32: its normalized latents are the supervision
+        # signal and are cheap relative to the conv towers.
+        flat = hr.reshape(-1, c).astype(self.dtype)
         code = self.ae.apply(ae_variables, flat, method=AutoencoderMLP.encode)
         return code.reshape(h, w, -1)
 
     def _hr_inner(self, visual_params, hr_variables, rgb):
+        x = normalize_image(rgb)[None].astype(self.compute_dtype)
         feats = self.visual.apply(
-            {"params": visual_params},
-            resize_bilinear(normalize_image(rgb)[None], CLIP_RESOLUTION),
+            {"params": self._cast(visual_params)},
+            resize_bilinear(x, CLIP_RESOLUTION),
         )
         hr = self.hr.apply(
-            hr_variables, feats["clip_vis_dense"], feats["res3"], feats["res2"]
+            self._cast(hr_variables), feats["clip_vis_dense"], feats["res3"],
+            feats["res2"],
         )
         return hr, feats
 

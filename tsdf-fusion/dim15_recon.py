@@ -32,6 +32,8 @@ def main():
     p.add_argument("--voxel", type=float, default=0.02)
     p.add_argument("--every", type=int, default=5)
     p.add_argument("--out", default=None)
+    p.add_argument("--mesh", action="store_true",
+                   help="also export semantic_mesh.ply (Surface Nets)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -89,6 +91,25 @@ def main():
         fields[f"f_{j}"] = feats[:, j].astype(np.float32)
     write_ply(out, fields)
     print(f"wrote {out}")
+
+    if args.mesh:
+        from online_lang_splatting_tpu.tsdf.meshing import (
+            extract_mesh, write_mesh_ply,
+        )
+
+        verts, faces, vfeat = extract_mesh(vol)
+        mesh_out = str(Path(out).with_name("semantic_mesh.ply"))
+        # First three feature channels as vertex colors (PCA for >3).
+        if vfeat.shape[1] > 3:
+            c = vfeat - vfeat.mean(0)
+            _, _, vt = np.linalg.svd(c[:: max(len(c) // 5000, 1)],
+                                     full_matrices=False)
+            c = c @ vt[:3].T
+            c = (c - c.min(0)) / np.maximum(c.max(0) - c.min(0), 1e-9)
+        else:
+            c = vfeat[:, :3]
+        write_mesh_ply(mesh_out, verts, faces, colors=c)
+        print(f"wrote {mesh_out} ({len(verts)} verts, {len(faces)} tris)")
 
 
 if __name__ == "__main__":
