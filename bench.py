@@ -30,7 +30,11 @@ def main():
 
     from online_lang_splatting_tpu.models.sed import LangFeatureExtractor
 
-    extractor = LangFeatureExtractor(rng=jax.random.key(0))
+    # bf16 conv towers (the reference's own eval encoder runs fp16;
+    # bf16-vs-f32 code cosine is 0.99996). The AE stays f32.
+    extractor = LangFeatureExtractor(
+        rng=jax.random.key(0), compute_dtype=jnp.bfloat16
+    )
     # Distinct frames each call — identical-input loops can be elided by
     # runtime caching layers and report fictitious throughput.
     rng = np.random.default_rng(0)

@@ -77,12 +77,30 @@ def main(argv=None):
 
     if config.get("Results", {}).get("eval_rendering", False):
         from online_lang_splatting_tpu.slam import evaluation
+        from online_lang_splatting_tpu.utils.ply import save_gaussians_ply
 
         metrics = evaluation.evaluate_run(slam, save_dir)
         print(metrics)
+        if save_dir is not None:
+            save_gaussians_ply(
+                save_dir / "gaussians_final.ply",
+                slam.backend.params, slam.backend.aux,
+            )
         slam.finalize(color_refinement_iters=26000)
         metrics_after = evaluation.evaluate_run(slam, save_dir, tag="after_opt")
         print(metrics_after)
+        if save_dir is not None:
+            save_gaussians_ply(
+                save_dir / "gaussians_final_after_opt.ply",
+                slam.backend.params, slam.backend.aux,
+            )
+            if slam.backend.online_ae is not None:
+                np.savez(
+                    save_dir / "online_ae.npz",
+                    **{f"params/{k1}/{k2}": np.asarray(v)
+                       for k1, sub in slam.backend.online_ae.params.items()
+                       for k2, v in sub.items()},
+                )
     return slam
 
 
