@@ -19,37 +19,40 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import lie
 from ..ops.raster import RasterSettings
 from . import losses as L
 from .camera import Camera
 from .renderer import RenderInputs, render
 
 
-class PoseAdamState:
-    """Tiny Adam over (rho, theta, exposure_a, exposure_b)."""
-
-    def __init__(self):
-        self.m = [jnp.zeros(3), jnp.zeros(3), jnp.zeros(()), jnp.zeros(())]
-        self.v = [jnp.zeros(3), jnp.zeros(3), jnp.zeros(()), jnp.zeros(())]
-        self.t = 0
-
-
-@functools.partial(jax.jit, static_argnames=("settings", "alpha", "rgb_threshold"))
-def tracking_step(
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings", "alpha", "rgb_threshold", "max_iters"),
+)
+def tracking_run(
     inputs: RenderInputs,
     view, proj, gt_image, gt_depth, grad_mask,
-    exposure_a, exposure_b,
-    adam_m, adam_v, adam_t,
-    lrs,  # (lr_trans, lr_rot, lr_exposure)
-    *, settings: RasterSettings, alpha=0.95, rgb_threshold=0.01,
+    exposure_a, exposure_b, lrs,
+    *, settings: RasterSettings, max_iters: int,
+    alpha=0.95, rgb_threshold=0.01,
 ):
-    """One tracking iteration. Returns new view, exposure, adam state,
-    tau norm, and the final render byproducts (depth/opacity medians,
-    visibility)."""
+    """Whole-frame tracking in ONE dispatch: a lax.while_loop of
+    render → loss → pose/exposure Adam → SE(3) retraction with the
+    device-side ‖tau‖ < 1e-4 convergence exit. Replaces per-iteration host
+    round trips (which dominate through the remote device link).
 
-    def loss_fn(rho, theta, ea, eb):
+    Language channels are dropped from the tracking render: the tracking
+    loss never reads them, so results are identical and the blend moves
+    ~3x less channel data than the reference's language rasterizer call.
+    """
+    track_inputs = inputs._replace(
+        language=jnp.zeros((inputs.language.shape[0], 0), jnp.float32)
+    )
+
+    def loss_fn(rho, theta, ea, eb, view):
         out = render(
-            inputs, view, proj, settings,
+            track_inputs, view, proj, settings,
             cam_trans_delta=rho, cam_rot_delta=theta,
         )
         loss = L.loss_tracking_rgbd(
@@ -59,37 +62,49 @@ def tracking_step(
         return loss, out
 
     zeros3 = jnp.zeros(3, jnp.float32)
-    (loss, out), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
-        zeros3, zeros3, exposure_a, exposure_b
-    )
-
-    # Adam on [trans, rot, ea, eb] with per-group LRs (reference tracking()
-    # optimizer; deltas are re-zeroed by the retraction each iteration so
-    # the delta after one step is exactly -update).
     lr_list = [lrs[0], lrs[1], lrs[2], lrs[2]]
     b1, b2, eps = 0.9, 0.999, 1e-8
-    t = adam_t + 1
-    new_m, new_v, steps = [], [], []
-    for g, m, v, lr in zip(grads, adam_m, adam_v, lr_list):
-        m = b1 * m + (1 - b1) * g
-        v = b2 * v + (1 - b2) * g * g
-        mhat = m / (1 - b1**t)
-        vhat = v / (1 - b2**t)
-        steps.append(-lr * mhat / (jnp.sqrt(vhat) + eps))
-        new_m.append(m)
-        new_v.append(v)
-    trans_delta, rot_delta, d_ea, d_eb = steps
-    tau = jnp.concatenate([trans_delta, rot_delta])
-    from ..ops import lie
 
-    new_view = lie.se3_exp(tau) @ view
-    converged = jnp.linalg.norm(tau) < 1e-4
-    med = L.median_depth(out.depth, out.opacity)
-    return (
-        new_view, exposure_a + d_ea, exposure_b + d_eb,
-        new_m, new_v, t, converged, loss, med,
-        out.n_touched > 0,
+    def body(state):
+        (view, ea, eb, m, v, t, _, loss_prev) = state
+        (loss, out), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+        )(zeros3, zeros3, ea, eb, view)
+        t = t + 1
+        new_m, new_v, steps = [], [], []
+        for g, mi, vi, lr in zip(grads, m, v, lr_list):
+            mi = b1 * mi + (1 - b1) * g
+            vi = b2 * vi + (1 - b2) * g * g
+            steps.append(
+                -lr * (mi / (1 - b1**t)) / (jnp.sqrt(vi / (1 - b2**t)) + eps)
+            )
+            new_m.append(mi)
+            new_v.append(vi)
+        trans_d, rot_d, d_ea, d_eb = steps
+        tau = jnp.concatenate([trans_d, rot_d])
+        view = lie.se3_exp(tau) @ view
+        converged = jnp.linalg.norm(tau) < 1e-4
+        return (view, ea + d_ea, eb + d_eb, tuple(new_m), tuple(new_v), t,
+                converged, loss)
+
+    def cond(state):
+        t, converged = state[5], state[6]
+        return (t < max_iters) & ~converged
+
+    z3 = jnp.zeros(3)
+    zs = jnp.zeros(())
+    init = (
+        view, exposure_a, exposure_b,
+        (z3, z3, zs, zs), (z3, z3, zs, zs),
+        jnp.zeros((), jnp.float32), jnp.array(False), jnp.zeros(()),
     )
+    (view, ea, eb, _, _, n_iters, _, loss) = jax.lax.while_loop(
+        cond, body, init
+    )
+    # Final render at the converged pose: median depth + visibility.
+    out = render(track_inputs, view, proj, settings)
+    med = L.median_depth(out.depth, out.opacity)
+    return view, ea, eb, n_iters, loss, med, out.n_touched > 0
 
 
 class FrontEnd:
@@ -126,31 +141,22 @@ class FrontEnd:
             cam.update_rt(cam.r_gt, cam.t_gt)
 
         view = jnp.asarray(cam.world_view_transform)
-        ea = jnp.asarray(cam.exposure_a, jnp.float32)
-        eb = jnp.asarray(cam.exposure_b, jnp.float32)
-        adam = PoseAdamState()
         gt_depth = jnp.asarray(cam.depth)[None]
-        lrs = (jnp.float32(self.lr_trans), jnp.float32(self.lr_rot), jnp.float32(0.01))
-        visibility = None
-        for itr in range(self.tracking_itr_num):
-            (view, ea, eb, adam.m, adam.v, adam.t, converged, loss, med,
-             visibility) = tracking_step(
-                self.render_inputs, view, proj, cam.image, gt_depth,
-                cam.grad_mask, ea, eb, adam.m, adam.v, adam.t, lrs,
-                settings=self.settings,
-                rgb_threshold=self.rgb_boundary_threshold,
-            )
-            if self.use_gt_pose:
-                if itr >= 50:
-                    break
-                view = jnp.asarray(cam.world_view_transform)
-            elif bool(converged):
-                break
-        v = np.asarray(view)
+        lrs = (jnp.float32(self.lr_trans), jnp.float32(self.lr_rot),
+               jnp.float32(0.01))
+        max_iters = 1 if self.use_gt_pose else self.tracking_itr_num
+        (view, ea, eb, n_iters, loss, med, visibility) = tracking_run(
+            self.render_inputs, view, proj, cam.image, gt_depth,
+            cam.grad_mask, jnp.asarray(cam.exposure_a, jnp.float32),
+            jnp.asarray(cam.exposure_b, jnp.float32), lrs,
+            settings=self.settings, max_iters=max_iters,
+            rgb_threshold=self.rgb_boundary_threshold,
+        )
         if not self.use_gt_pose:
+            v = np.asarray(view)
             cam.update_rt(v[:3, :3], v[:3, 3])
-        cam.exposure_a = float(ea)
-        cam.exposure_b = float(eb)
+            cam.exposure_a = float(ea)
+            cam.exposure_b = float(eb)
         self.median_depth = float(med)
         if not np.isfinite(self.median_depth):
             self.median_depth = 1.0
