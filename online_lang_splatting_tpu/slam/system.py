@@ -92,6 +92,8 @@ class SLAM:
         self.frontend.render_inputs = activate(
             self.backend.params, self.backend.aux.active
         )
+        # Follow backend instance-pool growth so tracking never truncates.
+        self.frontend.settings = self.backend.settings
         self.frontend.occ_aware_visibility = dict(
             self.backend.occ_aware_visibility
         )
