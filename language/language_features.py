@@ -53,6 +53,8 @@ def main():
     p.add_argument("--query-text", type=str, default="teddybear")
     p.add_argument("--no-visualize", action="store_true")
     p.add_argument("--device", type=str, default="tpu")
+    p.add_argument("--bf16", action="store_true",
+                   help="half-precision conv towers (~1.8x throughput)")
     args = p.parse_args()
 
     if args.device == "cpu":
@@ -83,8 +85,11 @@ def main():
         print("[language_features] no converted weights; using random init "
               "(feature maps will be untrained)")
 
+    import jax.numpy as _jnp
+
     extractor = LangFeatureExtractor(
         visual_params=visual, hr_variables=hr, ae_variables=ae,
+        compute_dtype=_jnp.bfloat16 if args.bf16 else None,
     )
 
     img = np.asarray(Image.open(args.input).convert("RGB"), np.float32)

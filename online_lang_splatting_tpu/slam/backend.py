@@ -30,25 +30,6 @@ from .camera import Camera
 from .renderer import activate, render
 
 
-class SlotData:
-    """Stacked per-slot tensors for one mapping call."""
-
-    def __init__(self, n_slots, height, width, lang_dim, cap):
-        self.n = n_slots
-        z = np.zeros
-        self.r = z((n_slots, 3, 3), np.float32)
-        self.t = z((n_slots, 3), np.float32)
-        self.ea = z((n_slots,), np.float32)
-        self.eb = z((n_slots,), np.float32)
-        self.images = None   # (S, 3, H, W) jnp
-        self.depths = None   # (S, 1, H, W) jnp
-        self.lang = None     # (S, L, 192, 192) jnp
-        self.valid = z((n_slots,), bool)
-        self.lang_on = z((n_slots,), bool)
-        self.pose_opt = z((n_slots,), bool)
-        self.exp_opt = z((n_slots,), bool)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("settings", "n_slots", "init_mode"),
