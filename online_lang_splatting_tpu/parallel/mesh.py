@@ -7,11 +7,12 @@ TPU-native equivalents here ride ICI collectives under shard_map:
 * `dp_ae_train_step` — data-parallel autoencoder training: batch sharded
   over the `dp` axis, parameters replicated, gradients psum-reduced.
   (Replaces Lightning `devices=[0,1]` DDP.)
-* `dp_mapping_grads` — data-parallel SLAM mapping: keyframe slots sharded
-  over devices, each chip renders + differentiates its local keyframes
-  with the Pallas rasterizer, per-Gaussian gradients psum into a
-  replicated map update. This is the multi-chip widening of the
-  backend's lax.scan accumulation (same math, sum over slots).
+* `dp_mapping_iteration` — data-parallel SLAM mapping: keyframe slots
+  sharded over devices, each chip renders + differentiates its local
+  keyframes with the Pallas rasterizer, per-Gaussian gradients psum into
+  a replicated map update. This is the FULL backend mapping iteration
+  (same math as slam.backend.mapping_iteration, shared core), selected in
+  BackEnd by passing a mesh.
 """
 
 from __future__ import annotations
@@ -65,48 +66,81 @@ def dp_ae_train_step(model, optimizer, mesh: Mesh):
 # Data-parallel mapping (keyframe-sharded SLAM optimization)
 
 
-def dp_mapping_grads(settings, mesh: Mesh):
-    """Returns jitted fn computing summed Gaussian-parameter gradients over
-    keyframe slots sharded across the dp axis.
+@functools.lru_cache(maxsize=None)
+def dp_mapping_iteration(settings, mesh: Mesh, n_slots: int, init_mode: bool):
+    """The FULL mapping iteration (identical math to
+    `slam.backend.mapping_iteration` — photometric + depth + language L1,
+    isotropic regularizer, Gaussian Adam, per-keyframe pose/exposure Adam
+    with SE(3) retraction, densification stats, occ visibility) with the
+    keyframe slots sharded over the mesh's `dp` axis.
 
-    Inputs: params (replicated GaussianParams), active (cap,), proj (4,4),
-    slot tensors leading-sharded: r (S,3,3), t (S,3), images (S,3,H,W),
-    depths (S,1,H,W), valid (S,). S must be divisible by mesh size.
-    Output: (grads replicated, loss scalar).
+    Each chip renders + differentiates its local slots with the Pallas
+    rasterizer (`scan_slot_grads`); per-Gaussian gradients and additive
+    stats ride ICI psum, max radii pmax; per-slot pose gradients stay
+    sharded and the replicated update tail (`apply_mapping_updates`) runs
+    under GSPMD. Same signature and return tuple as `mapping_iteration`;
+    `n_slots` must be divisible by the mesh size (callers pad with invalid
+    slots).
+
+    Replaces the reference's single-GPU torch.multiprocessing backend
+    (/root/reference/utils/slam_backend.py:454-767) with multi-chip SPMD.
     """
-    from ..models import gaussians as G
-    from ..ops import lie
-    from ..slam import losses as L
-    from ..slam.renderer import activate, render
+    from ..slam.backend import apply_mapping_updates, scan_slot_grads
 
-    def kf_loss(params, active, proj, r, t, image, depth, valid):
-        inputs = activate(params, active)
-        out = render(inputs, lie.rt_to_mat4(r, t), proj, settings)
-        loss = L.loss_mapping_rgbd(
-            out.color, out.depth, image, depth,
-            jnp.float32(0.0), jnp.float32(0.0), initialization=True,
+    assert n_slots % mesh.size == 0, (n_slots, mesh.size)
+
+    def local(params, active, proj, r, t, ea, eb, imgs, deps, lngs, l_on,
+              valid_f, lang_weight):
+        grads, loss, per_slot, stats = scan_slot_grads(
+            params, active, proj, r, t, ea, eb, imgs, deps, lngs,
+            l_on, valid_f, lang_weight,
+            settings=settings, init_mode=init_mode,
         )
-        return loss * valid
-
-    def local(params, active, proj, r, t, images, depths, valid):
-        def body(carry, slot):
-            g_acc, l_acc = carry
-            (r_k, t_k, im, de, v) = slot
-            loss, g = jax.value_and_grad(kf_loss)(
-                params, active, proj, r_k, t_k, im, de, v
-            )
-            return (jax.tree.map(jnp.add, g_acc, g), l_acc + loss), None
-
-        zero = jax.tree.map(jnp.zeros_like, params)
-        (g, l), _ = jax.lax.scan(
-            body, (zero, 0.0), (r, t, images, depths, valid)
+        grads = jax.lax.psum(grads, "dp")
+        loss = jax.lax.psum(loss, "dp")
+        max_radii, grad_accum, denom = stats
+        stats = (
+            jax.lax.pmax(max_radii, "dp"),
+            jax.lax.psum(grad_accum, "dp"),
+            jax.lax.psum(denom, "dp"),
         )
-        return jax.lax.psum(g, "dp"), jax.lax.psum(l, "dp")
+        return grads, loss, per_slot, stats
 
     sharded = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
-        out_specs=(P(), P()),
+        in_specs=(
+            P(), P(), P(), P("dp"), P("dp"), P("dp"), P("dp"),
+            P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P(),
+        ),
+        out_specs=(
+            P(), P(),
+            (P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+            (P(), P(), P()),
+        ),
         check_rep=False,
     )
-    return jax.jit(sharded)
+
+    def fn(params, opt, aux, proj,
+           slot_r, slot_t, slot_ea, slot_eb,
+           pose_m, pose_v, pose_t,
+           images, depths, langs,
+           slot_valid, lang_on, pose_opt, exp_opt,
+           lrs, lang_weight):
+        grads, loss, per_slot, stats = sharded(
+            params, aux.active, proj,
+            slot_r, slot_t, slot_ea, slot_eb,
+            images, depths, langs, lang_on,
+            slot_valid.astype(jnp.float32), lang_weight,
+        )
+        (params, opt, aux, new_r, new_t, new_ea, new_eb, pose_state,
+         occ_vis, ovf) = apply_mapping_updates(
+            params, opt, aux, grads, stats, per_slot,
+            slot_r, slot_t, slot_ea, slot_eb,
+            pose_m, pose_v, pose_t, pose_opt, exp_opt, lrs,
+        )
+        return (
+            params, opt, aux, new_r, new_t, new_ea, new_eb,
+            pose_state, occ_vis, loss, ovf,
+        )
+
+    return jax.jit(fn)

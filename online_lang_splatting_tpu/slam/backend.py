@@ -4,12 +4,21 @@ Host-driven port of the reference BackEnd
 (/root/reference/utils/slam_backend.py:44-998). The per-iteration work —
 render each window/random keyframe, accumulate photometric + language +
 isotropic losses, step the Gaussian Adam and the per-keyframe pose/exposure
-Adam, collect visibility & densification statistics — is ONE jitted
-function (`mapping_iteration`) that lax.scans over a fixed number of
-keyframe slots; gradients are computed inside each scan step so only one
-render's residuals are ever live. Densify/prune/opacity-reset cadences,
-keyframe bookkeeping, window management and the online autoencoder run on
-the host between steps, exactly on the reference's schedule.
+Adam, collect visibility & densification statistics — is expressed as a
+shardable per-slot core (`scan_slot_grads`) plus a replicated update tail
+(`apply_mapping_updates`); gradients are computed inside each scan step so
+only one render's residuals are ever live.
+
+Production dispatch is CHUNKED (`make_mapping_chunk`): up to 64 mapping
+iterations run device-resident per dispatch — window poses, both Adam
+states and densification stats carried in a lax.scan, random
+anti-forgetting frames gathered on-device from a `FrameStack` — with
+chunk boundaries placed exactly at the reference's densify/opacity-reset
+cadence iterations, which run on the host between chunks. With a
+jax.sharding Mesh, the slot axis additionally shards over the `dp` axis
+(gradients psum over ICI) — the multi-chip replacement for the
+reference's single-GPU backend process. `mapping_iteration` (one
+iteration, one device) remains as the equivalence oracle for tests.
 """
 
 from __future__ import annotations
@@ -30,35 +39,34 @@ from .camera import Camera
 from .renderer import activate, render
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("settings", "n_slots", "init_mode"),
-)
-def mapping_iteration(
+def scan_slot_grads(
     params: G.GaussianParams,
-    opt: G.AdamState,
-    aux: G.GaussianAux,
+    active,
     proj,
     slot_r, slot_t, slot_ea, slot_eb,
-    pose_m, pose_v, pose_t,
     images, depths, langs,
-    slot_valid, lang_on, pose_opt, exp_opt,
-    lrs: G.LearningRates,
+    lang_on, slot_valid_f,
     lang_weight,
     *,
     settings: RasterSettings,
-    n_slots: int,
     init_mode: bool,
 ):
-    """One mapping iteration over `n_slots` keyframe slots.
+    """The shardable core of one mapping iteration: lax.scan over keyframe
+    slots, each step rendering + differentiating one keyframe's mapping loss
+    (photometric + depth + language L1, slam_backend.py:515-597).
 
-    Returns (params, opt, aux, new slot poses/exposures, pose adam state,
-    occ_vis (S, cap) bool, loss).
+    Per-slot work is independent, so a data-parallel caller may shard the
+    slot axis over a device mesh and combine with psum (grads, loss,
+    additive stats) / pmax (max radii). Returns:
+      grads      — GaussianParams tree, summed over slots
+      loss       — scalar sum over slots
+      per_slot   — (g_rho, g_theta, g_ea, g_eb, occ_vis, ovf), leading slot axis
+      stats      — (max_radii (cap,), grad_accum_delta (cap,), denom_delta (cap,))
     """
     cap = params.xyz.shape[0]
 
     def kf_loss(p, rho, theta, ea, eb, m2d, r, t, image, depth, lang, l_on, valid):
-        inputs = activate(p, aux.active)
+        inputs = activate(p, active)
         view = lie.rt_to_mat4(r, t)
         out = render(
             inputs, view, proj, settings,
@@ -83,36 +91,58 @@ def mapping_iteration(
     zeros3 = jnp.zeros(3, jnp.float32)
 
     def step(carry, slot):
-        grad_acc, aux_c, loss_acc = carry
-        (r, t, ea, eb, image, depth, lang, l_on, valid, p_opt) = slot
+        grad_acc, max_radii, grad_accum, denom, loss_acc = carry
+        (r, t, ea, eb, image, depth, lang, l_on, valid) = slot
         (loss, (radii, n_touched, ovf)), grads = jax.value_and_grad(
             kf_loss, argnums=(0, 1, 2, 3, 4, 5), has_aux=True
         )(params, zeros3, zeros3, ea, eb, zero_m2d, r, t, image, depth, lang,
           l_on, valid)
         g_params, g_rho, g_theta, g_ea, g_eb, g_m2d = grads
         grad_acc = jax.tree.map(jnp.add, grad_acc, g_params)
-        visible = (radii > 0) & aux_c.active
-        aux_c = aux_c._replace(
-            max_radii2d=jnp.where(
-                visible,
-                jnp.maximum(aux_c.max_radii2d, radii.astype(jnp.float32)),
-                aux_c.max_radii2d,
-            ),
-            xyz_grad_accum=aux_c.xyz_grad_accum
-            + jnp.where(visible, jnp.linalg.norm(g_m2d, axis=-1), 0.0),
-            denom=aux_c.denom + visible.astype(jnp.float32),
+        visible = (radii > 0) & active
+        max_radii = jnp.maximum(
+            max_radii, jnp.where(visible, radii.astype(jnp.float32), 0.0)
         )
-        return (grad_acc, aux_c, loss_acc + loss), (
+        grad_accum = grad_accum + jnp.where(
+            visible, jnp.linalg.norm(g_m2d, axis=-1), 0.0
+        )
+        denom = denom + visible.astype(jnp.float32)
+        return (grad_acc, max_radii, grad_accum, denom, loss_acc + loss), (
             g_rho, g_theta, g_ea, g_eb, n_touched > 0, ovf,
         )
 
     grad0 = jax.tree.map(jnp.zeros_like, params)
+    zcap = jnp.zeros((cap,), jnp.float32)
     slots = (
         slot_r, slot_t, slot_ea, slot_eb, images, depths, langs,
-        lang_on, slot_valid.astype(jnp.float32), pose_opt,
+        lang_on, slot_valid_f,
     )
-    (grads, aux, loss), per_slot = jax.lax.scan(step, (grad0, aux, 0.0), slots)
+    (grads, max_radii, grad_accum, denom, loss), per_slot = jax.lax.scan(
+        step, (grad0, zcap, zcap, zcap, 0.0), slots
+    )
+    return grads, loss, per_slot, (max_radii, grad_accum, denom)
+
+
+def apply_mapping_updates(
+    params: G.GaussianParams,
+    opt: G.AdamState,
+    aux: G.GaussianAux,
+    grads, stats, per_slot,
+    slot_r, slot_t, slot_ea, slot_eb,
+    pose_m, pose_v, pose_t,
+    pose_opt, exp_opt,
+    lrs: G.LearningRates,
+):
+    """Replicated tail of one mapping iteration: fold slot stats into aux,
+    add the isotropic regularizer, step the Gaussian Adam, and step the
+    per-keyframe pose/exposure Adam with SE(3) retraction."""
     g_rho, g_theta, g_ea, g_eb, occ_vis, slot_ovf = per_slot
+    max_radii, grad_accum, denom = stats
+    aux = aux._replace(
+        max_radii2d=jnp.maximum(aux.max_radii2d, max_radii),
+        xyz_grad_accum=aux.xyz_grad_accum + grad_accum,
+        denom=aux.denom + denom,
+    )
 
     # Isotropic regularizer, 10x (slam_backend.py:664-667).
     iso_grad = jax.grad(
@@ -158,8 +188,251 @@ def mapping_iteration(
     return (
         params, opt, aux, new_r, new_t, new_ea, new_eb,
         ((m0, m1, m2, m3), (v0, v1, v2, v3), t_new),
-        occ_vis, loss, jnp.any(slot_ovf),
+        occ_vis, jnp.any(slot_ovf),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings", "n_slots", "init_mode"),
+)
+def mapping_iteration(
+    params: G.GaussianParams,
+    opt: G.AdamState,
+    aux: G.GaussianAux,
+    proj,
+    slot_r, slot_t, slot_ea, slot_eb,
+    pose_m, pose_v, pose_t,
+    images, depths, langs,
+    slot_valid, lang_on, pose_opt, exp_opt,
+    lrs: G.LearningRates,
+    lang_weight,
+    *,
+    settings: RasterSettings,
+    n_slots: int,
+    init_mode: bool,
+):
+    """One mapping iteration over `n_slots` keyframe slots (single device).
+
+    Returns (params, opt, aux, new slot poses/exposures, pose adam state,
+    occ_vis (S, cap) bool, loss).
+    """
+    grads, loss, per_slot, stats = scan_slot_grads(
+        params, aux.active, proj,
+        slot_r, slot_t, slot_ea, slot_eb,
+        images, depths, langs,
+        lang_on, slot_valid.astype(jnp.float32),
+        lang_weight, settings=settings, init_mode=init_mode,
+    )
+    (params, opt, aux, new_r, new_t, new_ea, new_eb, pose_state, occ_vis,
+     ovf) = apply_mapping_updates(
+        params, opt, aux, grads, stats, per_slot,
+        slot_r, slot_t, slot_ea, slot_eb,
+        pose_m, pose_v, pose_t, pose_opt, exp_opt, lrs,
+    )
+    return (
+        params, opt, aux, new_r, new_t, new_ea, new_eb,
+        pose_state, occ_vis, loss, ovf,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def make_mapping_chunk(
+    settings: RasterSettings,
+    n_slots: int,
+    n_iters: int,
+    init_mode: bool,
+    lr_cfg: tuple,  # (xyz_lr_init, xyz_lr_final, delay_mult, max_steps)
+    mesh=None,
+):
+    """Build a jitted function running `n_iters` full mapping iterations in
+    ONE device dispatch (a lax.scan over iterations, each scanning the
+    keyframe slots). Between host round-trips this keeps the Gaussian Adam,
+    per-keyframe pose/exposure Adam, densification stats and window poses
+    device-resident, and gathers the per-iteration random anti-forgetting
+    frames (slam_backend.py:606) from a device-resident frame stack instead
+    of restaging them from host.
+
+    Slot layout: the first `n_slots - 2` slots are the (fixed) keyframe
+    window, the last 2 are the per-iteration random frames. With `mesh`,
+    the slot axis is sharded over the mesh's dp axis per iteration
+    (gradients psum, stats psum/pmax) — the multi-chip mapping path.
+    """
+    n_win = n_slots - 2
+
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def slot_grads(params, active, proj, r, t, ea, eb, imgs, deps, lngs,
+                       l_on, valid_f, lw):
+            def local(params, active, proj, r, t, ea, eb, imgs, deps, lngs,
+                      l_on, valid_f, lw):
+                grads, loss, per_slot, stats = scan_slot_grads(
+                    params, active, proj, r, t, ea, eb, imgs, deps, lngs,
+                    l_on, valid_f, lw, settings=settings, init_mode=init_mode,
+                )
+                grads = jax.lax.psum(grads, "dp")
+                loss = jax.lax.psum(loss, "dp")
+                max_radii, grad_accum, denom = stats
+                stats = (
+                    jax.lax.pmax(max_radii, "dp"),
+                    jax.lax.psum(grad_accum, "dp"),
+                    jax.lax.psum(denom, "dp"),
+                )
+                return grads, loss, per_slot, stats
+
+            return shard_map(
+                local, mesh=mesh,
+                in_specs=(
+                    P(), P(), P(), P("dp"), P("dp"), P("dp"), P("dp"),
+                    P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P(),
+                ),
+                out_specs=(
+                    P(), P(),
+                    (P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+                    (P(), P(), P()),
+                ),
+                check_rep=False,
+            )(params, active, proj, r, t, ea, eb, imgs, deps, lngs,
+              l_on, valid_f, lw)
+    else:
+        def slot_grads(params, active, proj, r, t, ea, eb, imgs, deps, lngs,
+                       l_on, valid_f, lw):
+            return scan_slot_grads(
+                params, active, proj, r, t, ea, eb, imgs, deps, lngs,
+                l_on, valid_f, lw, settings=settings, init_mode=init_mode,
+            )
+
+    def chunk(
+        params, opt, aux, proj,
+        win_r, win_t, win_ea, win_eb,          # (W,3,3) (W,3) (W,) (W,)
+        win_imgs, win_deps, win_langs,         # (W,3,H,W) (W,1,H,W) (W,L,192,192)
+        win_valid, win_lang_on,                # (W,) bool
+        pose_opt, exp_opt,                     # (S,) bool (rand slots False)
+        pose_m, pose_v, pose_t,
+        stack_imgs, stack_deps, stack_langs, stack_lang_on,
+        rand_rows, rand_valid,                 # (N,2) i32 / bool
+        rand_r, rand_t, rand_ea, rand_eb,      # (N,2,...)
+        iter0,                                 # scalar f32: iteration count before chunk
+        fixed_lrs: G.LearningRates,
+        lang_weight,
+    ):
+        win_valid_f = win_valid.astype(jnp.float32)
+        counts = iter0 + 1.0 + jnp.arange(n_iters, dtype=jnp.float32)
+        occ0 = jnp.zeros((n_slots, params.xyz.shape[0]), bool)
+
+        def body(carry, x):
+            (params, opt, aux, wr, wt, wea, web, pm, pv, pt, _occ) = carry
+            (rows, rvalid, rr, rt, rea, reb, count) = x
+            r_imgs = jnp.take(stack_imgs, rows, axis=0)
+            r_deps = jnp.take(stack_deps, rows, axis=0)
+            r_langs = jnp.take(stack_langs, rows, axis=0)
+            r_lang_on = jnp.take(stack_lang_on, rows) & rvalid
+
+            slot_r = jnp.concatenate([wr, rr])
+            slot_t = jnp.concatenate([wt, rt])
+            slot_ea = jnp.concatenate([wea, rea])
+            slot_eb = jnp.concatenate([web, reb])
+            imgs = jnp.concatenate([win_imgs, r_imgs])
+            deps = jnp.concatenate([win_deps, r_deps])
+            lngs = jnp.concatenate([win_langs, r_langs])
+            lang_on = jnp.concatenate([win_lang_on, r_lang_on])
+            valid_f = jnp.concatenate(
+                [win_valid_f, rvalid.astype(jnp.float32)]
+            )
+
+            lrs = fixed_lrs._replace(
+                xyz=G.expon_lr(
+                    count, lr_cfg[0], lr_cfg[1],
+                    lr_delay_mult=lr_cfg[2], max_steps=lr_cfg[3],
+                )
+            )
+            grads, loss, per_slot, stats = slot_grads(
+                params, aux.active, proj, slot_r, slot_t, slot_ea, slot_eb,
+                imgs, deps, lngs, lang_on, valid_f, lang_weight,
+            )
+            (params, opt, aux, new_r, new_t, new_ea, new_eb,
+             (pm, pv, pt), occ_vis, ovf) = apply_mapping_updates(
+                params, opt, aux, grads, stats, per_slot,
+                slot_r, slot_t, slot_ea, slot_eb,
+                pm, pv, pt, pose_opt, exp_opt, lrs,
+            )
+            carry = (
+                params, opt, aux,
+                new_r[:n_win], new_t[:n_win], new_ea[:n_win], new_eb[:n_win],
+                pm, pv, pt, occ_vis,
+            )
+            return carry, (loss, ovf)
+
+        carry0 = (
+            params, opt, aux, win_r, win_t, win_ea, win_eb,
+            pose_m, pose_v, pose_t, occ0,
+        )
+        xs = (rand_rows, rand_valid, rand_r, rand_t, rand_ea, rand_eb, counts)
+        (params, opt, aux, wr, wt, wea, web, pm, pv, pt, occ_vis), (
+            losses, ovfs
+        ) = jax.lax.scan(body, carry0, xs)
+        return (
+            params, opt, aux, wr, wt, wea, web, (pm, pv, pt),
+            occ_vis, losses, jnp.any(ovfs),
+        )
+
+    return jax.jit(chunk)
+
+
+class FrameStack:
+    """Device-resident per-keyframe frame store (image / depth / language
+    supervision), written once per keyframe. Mapping chunks gather random
+    anti-forgetting frames from it on-device, so no frame is ever restaged
+    through the host link after insertion (the reference keeps all
+    viewpoints on-GPU the same way, slam_backend.py:187)."""
+
+    CHUNK_SIZES = (64, 16, 4, 1)  # pow-4 ladder bounds recompiles to 4/mode
+
+    def __init__(self, h: int, w: int, lang_dim: int, cap: int = 16,
+                 lang_hw=(192, 192)):
+        self.h, self.w, self.lang_dim = h, w, lang_dim
+        self.cap = cap
+        self.count = 0
+        self.row_of: Dict[int, int] = {}
+        self.images = jnp.zeros((cap, 3, h, w), jnp.float32)
+        self.depths = jnp.zeros((cap, 1, h, w), jnp.float32)
+        self.langs = jnp.zeros((cap, lang_dim) + tuple(lang_hw), jnp.float32)
+        self.lang_on = np.zeros((cap,), bool)  # host-side flag
+
+    def _grow(self):
+        def pad(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((self.cap,) + a.shape[1:], a.dtype)]
+            )
+
+        self.images = pad(self.images)
+        self.depths = pad(self.depths)
+        self.langs = pad(self.langs)
+        self.lang_on = np.concatenate(
+            [self.lang_on, np.zeros((self.cap,), bool)]
+        )
+        self.cap *= 2
+
+    def add(self, kf_idx: int, image, depth) -> int:
+        if kf_idx in self.row_of:
+            return self.row_of[kf_idx]
+        if self.count == self.cap:
+            self._grow()
+        row = self.count
+        self.row_of[kf_idx] = row
+        self.count += 1
+        self.images = self.images.at[row].set(image)
+        self.depths = self.depths.at[row].set(
+            jnp.asarray(depth, jnp.float32)[None]
+        )
+        return row
+
+    def set_lang(self, kf_idx: int, lang):
+        row = self.row_of[kf_idx]
+        self.langs = self.langs.at[row].set(lang)
+        self.lang_on[row] = True
 
 
 @functools.partial(jax.jit, static_argnames=("n_target",))
@@ -193,15 +466,24 @@ class BackEnd:
         capacity: int = 1 << 17,
         lang_extractor=None,
         online_ae=None,
+        mesh=None,
     ):
         self.config = config
         self.settings = settings
+        # Optional jax.sharding.Mesh: shard keyframe slots over the dp axis
+        # (multi-chip mapping; replaces the reference's single-GPU backend
+        # process, slam_backend.py:44).
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         self.proj = jnp.asarray(proj)
         tr = config["Training"]
         op = config["opt_params"]
         self.cap = capacity
         lang_dim = config.get("language", {}).get("lang_code_size", 15)
         self.lang_dim = lang_dim
+        # Spatial size of the supervision maps — 192x192 for the reference
+        # extractor (supervisedNet.py:74-81); tests may shrink it.
+        fh = config.get("language", {}).get("feat_hw", 192)
+        self.lang_hw = tuple(fh) if isinstance(fh, (list, tuple)) else (fh, fh)
         sh_degree = config["model_params"]["sh_degree"]
         self.params = G.empty_params(capacity, sh_degree, lang_dim)
         self.aux = G.empty_aux(capacity)
@@ -241,6 +523,7 @@ class BackEnd:
         self.point_size = config["Dataset"]["point_size"]
         self.adaptive_pointsize = config["Dataset"].get("adaptive_pointsize", False)
         self.frame_size = None  # (H, W), set on first keyframe
+        self.frame_stack: Optional[FrameStack] = None
 
     # -- learning rates -----------------------------------------------------
 
@@ -269,6 +552,16 @@ class BackEnd:
                     init: bool = False):
         self.viewpoints[kf_idx] = cam
         self.frame_size = (cam.height, cam.width)
+        if self.frame_stack is None:
+            self.frame_stack = FrameStack(
+                cam.height, cam.width, self.lang_dim, cap=64,
+                lang_hw=self.lang_hw,
+            )
+        self.frame_stack.add(kf_idx, cam.image, cam.depth)
+        if self.lang_train and cam.gt_lang_feat is not None:
+            lf = jnp.asarray(cam.gt_lang_feat)
+            if lf.shape == (self.lang_dim,) + self.lang_hw:
+                self.frame_stack.set_lang(kf_idx, lf)
         downsample = self.pcd_downsample_init if init else self.pcd_downsample
         point_size = self.point_size
         if self.adaptive_pointsize:
@@ -314,67 +607,239 @@ class BackEnd:
     def ensure_lang_features(self, cam: Camera):
         """Compute and cache the low-dim language map for a keyframe
         (slam_backend.py:537-576)."""
-        if not self.lang_train or cam.gt_lang_feat is not None:
+        if not self.lang_train:
+            return
+        if cam.gt_lang_feat is not None:
+            if (
+                self.frame_stack is not None
+                and cam.uid in self.frame_stack.row_of
+                and not self.frame_stack.lang_on[self.frame_stack.row_of[cam.uid]]
+                and jnp.asarray(cam.gt_lang_feat).shape
+                == (self.lang_dim,) + self.lang_hw
+            ):
+                self.frame_stack.set_lang(cam.uid, jnp.asarray(cam.gt_lang_feat))
             return
         if self.lang_extractor is None:
-            # No model weights loaded: supervise with zeros (keeps the
-            # pipeline shape-correct; a warning is the caller's job).
+            # No language model weights loaded. Training language codes
+            # toward zeros silently corrupts the map, so this is opt-in
+            # (config: language.allow_zero_supervision) — default is to
+            # leave language supervision OFF for this frame.
+            if not self.config.get("language", {}).get(
+                "allow_zero_supervision", False
+            ):
+                if not getattr(self, "_warned_no_lang_model", False):
+                    self._warned_no_lang_model = True
+                    print(
+                        "[backend] WARNING: language_train=True but no "
+                        "language model is loaded; language supervision is "
+                        "DISABLED (set language.allow_zero_supervision: "
+                        "true to train codes toward zeros instead)."
+                    )
+                return
             cam.gt_lang_feat = jnp.zeros(
-                (self.lang_dim, 192, 192), jnp.float32
+                (self.lang_dim,) + self.lang_hw, jnp.float32
             )
+            if (
+                self.frame_stack is not None
+                and cam.uid in self.frame_stack.row_of
+            ):
+                self.frame_stack.set_lang(cam.uid, cam.gt_lang_feat)
             return
         code = self.lang_extractor.encode_frame(cam.image.transpose(1, 2, 0) * 255.0)
         if self.online_ae is not None:
             cam.coco_lang_feat = code.reshape(-1, code.shape[-1])
             code = self.online_ae.train_and_encode(cam.coco_lang_feat).reshape(
-                192, 192, -1
+                self.lang_hw[0], self.lang_hw[1], -1
             )
         cam.gt_lang_feat = jnp.transpose(code, (2, 0, 1))
+        if (
+            self.frame_stack is not None
+            and cam.uid in self.frame_stack.row_of
+        ):
+            self.frame_stack.set_lang(cam.uid, cam.gt_lang_feat)
 
     # -- mapping ------------------------------------------------------------
 
-    def _build_slots(self, window: List[int], rand: List[int], n_slots: int,
-                     lang_run: bool):
-        h, w = self.frame_size
-        cams = [self.viewpoints[i] for i in window + rand]
+    def _n_slots(self) -> int:
+        n = self.window_size + 2
+        if self.mesh is not None:
+            # Pad to a multiple of the mesh size so slots shard evenly;
+            # padding slots carry valid=False and contribute zero loss.
+            d = self.mesh.size
+            n = -(-n // d) * d
+        return n
+
+    def _iters_to_event(self, count: int, init_mode: bool) -> int:
+        """Distance from `count` to the next densify/reset cadence event
+        (the iteration k>count with k % update_every == update_offset or
+        k % reset_every == 0, matching slam_backend.py:729-742)."""
+        update_every = (
+            self.init_gaussian_update if init_mode else self.gaussian_update_every
+        )
+        update_offset = 0 if init_mode else self.gaussian_update_offset
+        reset_every = (
+            self.init_gaussian_reset if init_mode else self.gaussian_reset
+        )
+        d = 1
+        while True:
+            k = count + d
+            if k % update_every == update_offset or k % reset_every == 0:
+                return d
+            d += 1
+
+    def _stage_window(self, window: List[int], n_win: int, lang_run: bool):
+        """Host-side window slot tensors for a chunk (constant across the
+        whole map() call); frames gathered from the device frame stack."""
+        stack = self.frame_stack
+        cams = [self.viewpoints[i] for i in window]
         n = len(cams)
-        r = np.stack([c.r for c in cams] + [np.eye(3, dtype=np.float32)] * (n_slots - n))
-        t = np.stack([c.t for c in cams] + [np.zeros(3, np.float32)] * (n_slots - n))
-        ea = np.array([c.exposure_a for c in cams] + [0.0] * (n_slots - n), np.float32)
-        eb = np.array([c.exposure_b for c in cams] + [0.0] * (n_slots - n), np.float32)
-        zero_img = jnp.zeros((3, h, w), jnp.float32)
-        zero_lang = jnp.zeros((self.lang_dim, 192, 192), jnp.float32)
-        imgs = jnp.stack([c.image for c in cams] + [zero_img] * (n_slots - n))
-        deps = jnp.stack(
-            [jnp.asarray(c.depth)[None] for c in cams]
-            + [zero_img[:1]] * (n_slots - n)
+        pad = n_win - n
+        rows = [stack.row_of[i] for i in window] + [0] * pad
+        rows_d = jnp.asarray(rows, jnp.int32)
+        win_r = np.stack(
+            [c.r for c in cams] + [np.eye(3, dtype=np.float32)] * pad
         )
-        langs = jnp.stack(
-            [
-                c.gt_lang_feat if c.gt_lang_feat is not None else zero_lang
-                for c in cams
-            ]
-            + [zero_lang] * (n_slots - n)
+        win_t = np.stack([c.t for c in cams] + [np.zeros(3, np.float32)] * pad)
+        win_ea = np.array(
+            [c.exposure_a for c in cams] + [0.0] * pad, np.float32
         )
-        valid = np.zeros((n_slots,), bool)
+        win_eb = np.array(
+            [c.exposure_b for c in cams] + [0.0] * pad, np.float32
+        )
+        win_imgs = jnp.take(stack.images, rows_d, axis=0)
+        win_deps = jnp.take(stack.depths, rows_d, axis=0)
+        win_langs = jnp.take(stack.langs, rows_d, axis=0)
+        valid = np.zeros((n_win,), bool)
         valid[:n] = True
-        lang_on = np.zeros((n_slots,), bool)
+        lang_on = np.zeros((n_win,), bool)
         if lang_run and self.lang_train:
-            lang_on[:n] = [c.gt_lang_feat is not None for c in cams]
-        pose_opt = np.zeros((n_slots,), bool)
-        exp_opt = np.zeros((n_slots,), bool)
+            lang_on[:n] = stack.lang_on[rows[:n]]
+        pose_opt = np.zeros((n_win + 2,), bool)
+        exp_opt = np.zeros((n_win + 2,), bool)
         if not self.use_gt_pose:
-            for i in range(min(self.pose_window, len(window))):
+            for i in range(min(self.pose_window, n)):
                 if cams[i].uid != 0:
                     pose_opt[i] = True
-        exp_opt[: len(window)] = True
-        return (r, t, ea, eb, imgs, deps, langs, valid, lang_on, pose_opt, exp_opt)
+        exp_opt[:n] = True
+        return [
+            jnp.asarray(win_r), jnp.asarray(win_t),
+            jnp.asarray(win_ea), jnp.asarray(win_eb),
+            win_imgs, win_deps, win_langs,
+            jnp.asarray(valid), jnp.asarray(lang_on),
+            jnp.asarray(pose_opt), jnp.asarray(exp_opt),
+        ]
+
+    def _stage_rand(self, rand_pool: List[int], count0: int, n: int):
+        """Per-iteration random anti-forgetting draws for a chunk: the same
+        seed schedule as the per-iteration path (rng seeded by the 1-based
+        iteration number), returning stack rows + poses/exposures."""
+        stack = self.frame_stack
+        rows = np.zeros((n, 2), np.int32)
+        valid = np.zeros((n, 2), bool)
+        r = np.tile(np.eye(3, dtype=np.float32), (n, 2, 1, 1))
+        t = np.zeros((n, 2, 3), np.float32)
+        ea = np.zeros((n, 2), np.float32)
+        eb = np.zeros((n, 2), np.float32)
+        draws: List[List[int]] = []
+        for j in range(n):
+            picks = (
+                list(
+                    np.random.default_rng(count0 + j + 1).permutation(
+                        rand_pool
+                    )[:2]
+                )
+                if rand_pool
+                else []
+            )
+            draws.append(picks)
+            for k, idx in enumerate(picks):
+                cam = self.viewpoints[idx]
+                rows[j, k] = stack.row_of[idx]
+                valid[j, k] = True
+                r[j, k] = cam.r
+                t[j, k] = cam.t
+                ea[j, k] = cam.exposure_a
+                eb[j, k] = cam.exposure_b
+        return (
+            jnp.asarray(rows), jnp.asarray(valid),
+            jnp.asarray(r), jnp.asarray(t), jnp.asarray(ea), jnp.asarray(eb),
+        )
+
+    def _run_chunk(self, window, staged_window, rand_pool, n: int,
+                   lang_run: bool, init_mode: bool):
+        """Dispatch one device-resident chunk of n mapping iterations, with
+        overflow-redo (grow the instance pool and REPLAY the chunk before
+        committing — no truncated-gradient step is ever applied).
+        `staged_window` is a list; its pose/exposure entries are refreshed
+        in place with the chunk's outputs so the next chunk continues from
+        the optimized window poses without a host round-trip."""
+        n_slots = self._n_slots()
+        (win_r, win_t, win_ea, win_eb, win_imgs, win_deps, win_langs,
+         win_valid, win_lang_on, pose_opt, exp_opt) = staged_window
+        rand = self._stage_rand(rand_pool, self.iteration_count, n)
+        pm, pv, pt = self.keyframe_optimizer_state
+        stack = self.frame_stack
+        op = self.op
+        lr_cfg = (
+            op["position_lr_init"], op["position_lr_final"],
+            op["position_lr_delay_mult"], op["position_lr_max_steps"],
+        )
+        fixed = self._lrs()
+        stack_lang_on = jnp.asarray(
+            stack.lang_on if (lang_run and self.lang_train)
+            else np.zeros_like(stack.lang_on)
+        )
+        args = (
+            self.params, self.opt, self.aux, self.proj,
+            win_r, win_t, win_ea, win_eb,
+            win_imgs, win_deps, win_langs, win_valid, win_lang_on,
+            pose_opt, exp_opt,
+            pm, pv, pt,
+            stack.images, stack.depths, stack.langs, stack_lang_on,
+            *rand,
+            jnp.float32(self.iteration_count),
+            fixed, jnp.float32(self.lamda_lang),
+        )
+        for _attempt in range(4):
+            fn = make_mapping_chunk(
+                self.settings, n_slots, n, init_mode, lr_cfg, self.mesh
+            )
+            out = fn(*args)
+            if not bool(out[10]):
+                break
+            self.settings = self.settings._replace(
+                max_instances=self.settings.max_instances * 2
+            )
+            print(f"[backend] raster instance pool grown to "
+                  f"{self.settings.max_instances}; replaying chunk")
+        (self.params, self.opt, self.aux, new_r, new_t, new_ea, new_eb,
+         self.keyframe_optimizer_state, occ_vis, losses, _ovf) = out
+        self.iteration_count += n
+        staged_window[0], staged_window[1] = new_r, new_t
+        staged_window[2], staged_window[3] = new_ea, new_eb
+
+        # Write back window poses/exposures.
+        new_r_h, new_t_h = np.asarray(new_r), np.asarray(new_t)
+        new_ea_h, new_eb_h = np.asarray(new_ea), np.asarray(new_eb)
+        pose_opt_h = np.asarray(pose_opt)
+        exp_opt_h = np.asarray(exp_opt)
+        for i, idx in enumerate(window):
+            cam = self.viewpoints[idx]
+            if pose_opt_h[i]:
+                cam.update_rt(new_r_h[i], new_t_h[i])
+            if exp_opt_h[i]:
+                cam.exposure_a = float(new_ea_h[i])
+                cam.exposure_b = float(new_eb_h[i])
+        occ = np.asarray(occ_vis)
+        for i, idx in enumerate(window):
+            self.occ_aware_visibility[idx] = occ[i]
+        return occ
 
     def map(self, window: List[int], iters: int = 1, lang_run: bool = False,
             prune: bool = False, init_mode: bool = False) -> bool:
         if not window:
             return False
-        n_slots = self.window_size + 2
+        n_slots = self._n_slots()
         rand_pool = [i for i in self.viewpoints if i not in set(window)]
         if self.lang_train and lang_run:
             for idx in window:
@@ -384,87 +849,67 @@ class BackEnd:
         ):
             self.reset_keyframe_optimizer(n_slots)
         gaussian_split = False
+        staged = self._stage_window(window, n_slots - 2, lang_run)
 
-        for it in range(iters):
-            self.iteration_count += 1
-            rand = list(np.random.default_rng(self.iteration_count).permutation(
-                rand_pool
-            )[:2]) if rand_pool else []
-            slots = self._build_slots(window, rand, n_slots, lang_run)
-            (r, t, ea, eb, imgs, deps, langs, valid, lang_on, pose_opt,
-             exp_opt) = slots
-            pm, pv, pt = self.keyframe_optimizer_state
-            (self.params, self.opt, self.aux, new_r, new_t, new_ea, new_eb,
-             self.keyframe_optimizer_state, occ_vis, loss,
-             raster_overflow) = mapping_iteration(
-                self.params, self.opt, self.aux, self.proj,
-                jnp.asarray(r), jnp.asarray(t), jnp.asarray(ea), jnp.asarray(eb),
-                pm, pv, pt,
-                imgs, deps, langs,
-                jnp.asarray(valid), jnp.asarray(lang_on), jnp.asarray(pose_opt),
-                jnp.asarray(exp_opt),
-                self._lrs(), jnp.float32(self.lamda_lang),
-                settings=self.settings, n_slots=n_slots, init_mode=init_mode,
-            )
-            if bool(raster_overflow):
-                # Instance pool exhausted: grow the bucket (recompiles once)
-                # — this iteration rendered truncated tails.
-                self.settings = self.settings._replace(
-                    max_instances=self.settings.max_instances * 2
-                )
-                print(f"[backend] raster instance pool grown to "
-                      f"{self.settings.max_instances}")
-            # Write back per-KF poses/exposures.
-            new_r_h, new_t_h = np.asarray(new_r), np.asarray(new_t)
-            new_ea_h, new_eb_h = np.asarray(new_ea), np.asarray(new_eb)
-            for i, idx in enumerate(window + rand):
-                cam = self.viewpoints[idx]
-                if pose_opt[i]:
-                    cam.update_rt(new_r_h[i], new_t_h[i])
-                if exp_opt[i]:
-                    cam.exposure_a = float(new_ea_h[i])
-                    cam.exposure_b = float(new_eb_h[i])
-            occ = np.asarray(occ_vis)
-            for i, idx in enumerate(window):
-                self.occ_aware_visibility[idx] = occ[i]
+        if prune:
+            # One iteration + occ-visibility prune (slam_backend.py:683-717).
+            self._run_chunk(window, staged, rand_pool, 1, lang_run, init_mode)
+            self._visibility_prune(window)
+            return False
 
-            if prune:
-                self._visibility_prune(window)
-                return False
+        it_done = 0
+        while it_done < iters:
+            to_event = self._iters_to_event(self.iteration_count, init_mode)
+            budget = min(iters - it_done, to_event)
+            n = next(s for s in FrameStack.CHUNK_SIZES if s <= budget)
+            occ = self._run_chunk(
+                window, staged, rand_pool, n, lang_run, init_mode
+            )
+            it_done += n
+            # _cadence_events re-checks the exact modulo conditions, so this
+            # is a no-op unless the chunk ended ON a cadence iteration.
+            gaussian_split |= self._cadence_events(init_mode, occ, window)
+        return gaussian_split
 
-            update_every = (
-                self.init_gaussian_update if init_mode else self.gaussian_update_every
+    def _cadence_events(self, init_mode: bool, occ, window) -> bool:
+        """Densify/prune and opacity-reset cadences at the current
+        iteration count (slam_backend.py:729-742), run on the host between
+        chunks exactly at the iterations where the reference fires them."""
+        gaussian_split = False
+        update_every = (
+            self.init_gaussian_update if init_mode else self.gaussian_update_every
+        )
+        update_offset = 0 if init_mode else self.gaussian_update_offset
+        cadence_update = self.iteration_count % update_every == update_offset
+        if cadence_update:
+            self.rng, key = jax.random.split(self.rng)
+            extent = (
+                self.init_gaussian_extent if init_mode else self.gaussian_extent
             )
-            update_offset = 0 if init_mode else self.gaussian_update_offset
-            cadence_update = (
-                self.iteration_count % update_every == update_offset
+            th = self.init_gaussian_th if init_mode else self.gaussian_th
+            size_th = None if init_mode else self.size_threshold
+            self.params, self.aux, self.opt, overflow = G.densify_and_prune(
+                self.params, self.aux, self.opt, key,
+                max_grad=self.op["densify_grad_threshold"],
+                min_opacity=th, extent=extent, max_screen_size=size_th,
+                percent_dense=self.op["percent_dense"],
             )
-            if cadence_update:
-                self.rng, key = jax.random.split(self.rng)
-                extent = (
-                    self.init_gaussian_extent if init_mode else self.gaussian_extent
+            if bool(overflow):
+                self._grow_capacity()
+            gaussian_split = True
+        reset_every = (
+            self.init_gaussian_reset if init_mode else self.gaussian_reset
+        )
+        if (self.iteration_count % reset_every == 0) and not cadence_update:
+            if init_mode:
+                self.params, self.opt = G.reset_opacity(self.params, self.opt)
+            else:
+                n_valid = len(window)
+                visible = jnp.asarray(occ[:n_valid].any(axis=0))
+                self.params, self.opt = G.reset_opacity_nonvisible(
+                    self.params, self.opt, visible
                 )
-                th = self.init_gaussian_th if init_mode else self.gaussian_th
-                size_th = None if init_mode else self.size_threshold
-                self.params, self.aux, self.opt, overflow = G.densify_and_prune(
-                    self.params, self.aux, self.opt, key,
-                    max_grad=self.op["densify_grad_threshold"],
-                    min_opacity=th, extent=extent, max_screen_size=size_th,
-                    percent_dense=self.op["percent_dense"],
-                )
-                if bool(overflow):
-                    self._grow_capacity()
-                gaussian_split = True
-            reset_every = self.init_gaussian_reset if init_mode else self.gaussian_reset
-            if (self.iteration_count % reset_every == 0) and not cadence_update:
-                if init_mode:
-                    self.params, self.opt = G.reset_opacity(self.params, self.opt)
-                else:
-                    visible = jnp.asarray(occ.any(axis=0))
-                    self.params, self.opt = G.reset_opacity_nonvisible(
-                        self.params, self.opt, visible
-                    )
-                gaussian_split = True
+            gaussian_split = True
         return gaussian_split
 
     def _visibility_prune(self, window: List[int]):
@@ -506,4 +951,5 @@ class BackEnd:
             self.params, self.aux, self.viewpoints, self.proj, self.settings,
             iterations=iterations,
             lambda_dssim=self.op.get("lambda_dssim", 0.2),
+            frame_stack=self.frame_stack,
         )

@@ -218,6 +218,16 @@ class SLAM:
             self.frontend_queue.put(["sync_backend", snap_inputs, occ, poses])
 
         def backend_loop():
+            try:
+                _backend_loop()
+            except Exception:
+                import traceback
+
+                traceback.print_exc()
+                state["backend_error"] = True
+                raise
+
+        def _backend_loop():
             while True:
                 try:
                     msg = self.backend_queue.get(timeout=0.01)
@@ -274,26 +284,37 @@ class SLAM:
         cur_window: list[int] = []
         last_kf = 0
         frames_since_kf = 0
+        self.tracked_while_kf_in_flight = 0  # observability for tests
         for idx in range(n):
+            t_frame = time.time()
             cam = Camera.from_dataset(self.dataset, idx)
             cam.compute_grad_mask(self.config)
             fe.cameras[idx] = cam
             if idx == 0:
+                # The reference frontend blocks while requested_init
+                # (slam_frontend.py:569-571) — keep that synchronous. The
+                # drain can time out while the backend is still compiling
+                # its first mapping program, so loop until the ack lands.
                 cam.update_rt(cam.r_gt, cam.t_gt)
                 state["requested_kf"] = 1
                 self.backend_queue.put(
                     ["init", 0, cam, fe.new_keyframe_depth(cam)]
                 )
-                drain_frontend_queue(block=True)
+                while state["requested_kf"] > 0 and bt.is_alive():
+                    drain_frontend_queue(block=True)
                 cur_window = [0]
                 fe.kf_indices = [0]
                 continue
-            while state["requested_kf"] > 0:
-                drain_frontend_queue(block=True)
+            # Async semantics (slam_frontend.py:614-618): keep TRACKING
+            # against the latest map snapshot while a keyframe request is
+            # in flight; only new-keyframe creation is deferred.
             drain_frontend_queue()
             prev = fe.cameras[idx - 1]
             visibility = fe.track(cam, prev, self.proj)
             frames_since_kf += 1
+            if state["requested_kf"] > 0:
+                self.tracked_while_kf_in_flight += 1
+                continue
             create_kf = frames_since_kf >= self.kf_interval and (
                 last_kf in fe.occ_aware_visibility
                 and fe.is_keyframe(idx, last_kf, visibility)
@@ -317,6 +338,10 @@ class SLAM:
                 ])
                 last_kf = idx
                 frames_since_kf = 0
+                # ≤3 FPS throttle after keyframe insertion
+                # (slam_frontend.py:700-704).
+                elapsed = time.time() - t_frame
+                time.sleep(max(0.01, 1.0 / 3.0 - elapsed))
         while state["requested_kf"] > 0:
             drain_frontend_queue(block=True)
         self.backend_queue.put(["stop"])

@@ -1,0 +1,150 @@
+"""Chunked mapping (N iterations per dispatch) must reproduce the
+per-iteration mapping_iteration path exactly: same Gaussian params/Adam,
+same window pose/exposure trajectory, same densification stats, same
+final occ visibility."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from online_lang_splatting_tpu.models import gaussians as G
+from online_lang_splatting_tpu.ops import graphics
+from online_lang_splatting_tpu.ops.raster import RasterSettings
+from online_lang_splatting_tpu.slam.backend import (
+    make_mapping_chunk, mapping_iteration,
+)
+
+LR_CFG = (0.001, 0.00002, 0.01, 3000)
+
+
+def _setup(n_win=2, n_stack=5, lang_dim=15, h=24, w=32):
+    rng = np.random.default_rng(3)
+    cap = 256
+    params = G.empty_params(cap, sh_degree=0, lang_dim=lang_dim)
+    aux = G.empty_aux(cap)
+    opt = G.init_adam(params)
+    xyz = jnp.asarray(rng.normal(size=(96, 3)) * 0.5 + [0, 0, 3.0], jnp.float32)
+    rgb = jnp.asarray(rng.uniform(size=(96, 3)), jnp.float32)
+    params, aux, opt, _ = G.extend_points(
+        params, aux, opt, xyz=xyz, rgb=rgb,
+        valid=jnp.ones((96,), bool), kf_id=0,
+    )
+    f = 30.0
+    settings = RasterSettings(
+        image_height=h, image_width=w,
+        tanfovx=w / (2 * f), tanfovy=h / (2 * f),
+        sh_degree=0, backend="tpu", max_instances=4096,
+    )
+    proj = graphics.projection_matrix(0.01, 100.0, w / 2, h / 2, f, f, w, h)
+
+    stack_imgs = jnp.asarray(rng.uniform(size=(n_stack, 3, h, w)), jnp.float32)
+    stack_deps = jnp.full((n_stack, 1, h, w), 3.0, jnp.float32)
+    stack_langs = jnp.asarray(
+        rng.normal(size=(n_stack, lang_dim, 192, 192)) * 0.1, jnp.float32
+    )
+    stack_lang_on = jnp.asarray([True, False, True, True, True])
+
+    win = dict(
+        r=jnp.broadcast_to(jnp.eye(3), (n_win, 3, 3)),
+        t=jnp.asarray(rng.normal(size=(n_win, 3)) * 0.01, jnp.float32),
+        ea=jnp.asarray(rng.normal(size=(n_win,)) * 0.01, jnp.float32),
+        eb=jnp.asarray(rng.normal(size=(n_win,)) * 0.01, jnp.float32),
+        imgs=jnp.take(stack_imgs, jnp.arange(n_win), axis=0),
+        deps=jnp.take(stack_deps, jnp.arange(n_win), axis=0),
+        langs=jnp.take(stack_langs, jnp.arange(n_win), axis=0),
+        valid=jnp.ones((n_win,), bool),
+        lang_on=stack_lang_on[:n_win],
+    )
+    pose_opt = jnp.asarray([False, True, False, False])
+    exp_opt = jnp.asarray([True, True, False, False])
+    stack = (stack_imgs, stack_deps, stack_langs, stack_lang_on)
+    return params, opt, aux, settings, proj, win, pose_opt, exp_opt, stack
+
+
+def test_chunk_matches_per_iteration():
+    n_win, n_iters = 2, 3
+    n_slots = n_win + 2
+    (params, opt, aux, settings, proj, win, pose_opt, exp_opt,
+     stack) = _setup(n_win)
+    stack_imgs, stack_deps, stack_langs, stack_lang_on = stack
+    rng = np.random.default_rng(7)
+    rand_rows = jnp.asarray(rng.integers(2, 5, size=(n_iters, 2)), jnp.int32)
+    rand_valid = jnp.asarray(
+        [[True, True], [True, False], [True, True]]
+    )
+    rand_r = jnp.broadcast_to(jnp.eye(3), (n_iters, 2, 3, 3))
+    rand_t = jnp.asarray(rng.normal(size=(n_iters, 2, 3)) * 0.01, jnp.float32)
+    rand_ea = jnp.zeros((n_iters, 2), jnp.float32)
+    rand_eb = jnp.zeros((n_iters, 2), jnp.float32)
+    lw = jnp.float32(1.0)
+    fixed_lrs = G.LearningRates(*[jnp.float32(1e-3)] * 7)
+
+    # --- reference: per-iteration path, host-carried window poses ---------
+    z3 = jnp.zeros((n_slots, 3), jnp.float32)
+    zs = jnp.zeros((n_slots,), jnp.float32)
+    pm, pv, pt = (z3, z3, zs, zs), (z3, z3, zs, zs), jnp.zeros((n_slots,), jnp.float32)
+    p_ref, o_ref, a_ref = params, opt, aux
+    wr, wt, wea, web = win["r"], win["t"], win["ea"], win["eb"]
+    for j in range(n_iters):
+        rows = rand_rows[j]
+        slot_r = jnp.concatenate([wr, rand_r[j]])
+        slot_t = jnp.concatenate([wt, rand_t[j]])
+        slot_ea = jnp.concatenate([wea, rand_ea[j]])
+        slot_eb = jnp.concatenate([web, rand_eb[j]])
+        imgs = jnp.concatenate([win["imgs"], jnp.take(stack_imgs, rows, axis=0)])
+        deps = jnp.concatenate([win["deps"], jnp.take(stack_deps, rows, axis=0)])
+        lngs = jnp.concatenate([win["langs"], jnp.take(stack_langs, rows, axis=0)])
+        valid = jnp.concatenate([win["valid"], rand_valid[j]])
+        lang_on = jnp.concatenate(
+            [win["lang_on"], jnp.take(stack_lang_on, rows) & rand_valid[j]]
+        )
+        lrs = fixed_lrs._replace(
+            xyz=G.expon_lr(
+                jnp.float32(j + 1), LR_CFG[0], LR_CFG[1],
+                lr_delay_mult=LR_CFG[2], max_steps=LR_CFG[3],
+            )
+        )
+        (p_ref, o_ref, a_ref, new_r, new_t, new_ea, new_eb,
+         (pm, pv, pt), occ_ref, _loss, _ovf) = mapping_iteration(
+            p_ref, o_ref, a_ref, proj,
+            slot_r, slot_t, slot_ea, slot_eb, pm, pv, pt,
+            imgs, deps, lngs, valid, lang_on, pose_opt, exp_opt,
+            lrs, lw, settings=settings, n_slots=n_slots, init_mode=False,
+        )
+        wr, wt, wea, web = new_r[:n_win], new_t[:n_win], new_ea[:n_win], new_eb[:n_win]
+
+    # --- chunked path: one dispatch ----------------------------------------
+    pm0, pv0 = (z3, z3, zs, zs), (z3, z3, zs, zs)
+    fn = make_mapping_chunk(settings, n_slots, n_iters, False, LR_CFG)
+    (p_c, o_c, a_c, wr_c, wt_c, wea_c, web_c, (pm_c, pv_c, pt_c),
+     occ_c, losses, ovf) = fn(
+        params, opt, aux, proj,
+        win["r"], win["t"], win["ea"], win["eb"],
+        win["imgs"], win["deps"], win["langs"], win["valid"], win["lang_on"],
+        pose_opt, exp_opt,
+        pm0, pv0, jnp.zeros((n_slots,), jnp.float32),
+        stack_imgs, stack_deps, stack_langs, stack_lang_on,
+        rand_rows, rand_valid, rand_r, rand_t, rand_ea, rand_eb,
+        jnp.float32(0.0), fixed_lrs, lw,
+    )
+
+    def close(a, b, name, tol=1e-5):
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            la, lb = jnp.asarray(la), jnp.asarray(lb)
+            if la.size == 0:
+                continue
+            if la.dtype == bool:
+                assert (la == lb).all(), name
+            else:
+                d = float(jnp.abs(la.astype(jnp.float32)
+                                  - lb.astype(jnp.float32)).max())
+                assert d < tol, (name, d)
+
+    close(p_ref, p_c, "params")
+    close(o_ref, o_c, "opt")
+    close(a_ref, a_c, "aux")
+    close((wr, wt, wea, web), (wr_c, wt_c, wea_c, web_c), "window poses")
+    close((pm, pv, pt), (pm_c, pv_c, pt_c), "pose adam")
+    close(occ_ref, occ_c, "occ")
+    assert losses.shape == (n_iters,)
+    assert not bool(ovf)

@@ -6,6 +6,8 @@ import pytest
 from online_lang_splatting_tpu.slam.config import load_config
 from online_lang_splatting_tpu.slam.system import SLAM
 
+pytestmark = pytest.mark.slow
+
 
 def test_threaded_run_matches_protocol():
     config = load_config("configs/synthetic/smoke.yaml")
@@ -22,3 +24,7 @@ def test_threaded_run_matches_protocol():
         assert np.isfinite(cam.t).all()
     # Frontend received at least one backend snapshot.
     assert slam.frontend.render_inputs is not None
+    # Async semantics: the frontend kept TRACKING while a keyframe request
+    # was in flight (reference slam_frontend.py:614-618) instead of
+    # blocking until mapping finished.
+    assert slam.tracked_while_kf_in_flight >= 1
