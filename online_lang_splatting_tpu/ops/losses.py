@@ -69,6 +69,53 @@ def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:
     return ssim_map.mean()
 
 
+def _ssim_and_cs(img1, img2, window):
+    conv = functools.partial(_depthwise_conv_same_zero, window=window)
+    mu1, mu2 = conv(img1), conv(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = conv(img1 * img1) - mu1_sq
+    sigma2_sq = conv(img2 * img2) - mu2_sq
+    sigma12 = conv(img1 * img2) - mu1_mu2
+    c1, c2 = 0.01**2, 0.03**2
+    cs_map = (2 * sigma12 + c2) / (sigma1_sq + sigma2_sq + c2)
+    ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
+    return ssim_map.mean(), cs_map.mean()
+
+
+def ms_ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11,
+            weights=(0.0448, 0.2856, 0.3001, 0.2363, 0.1333)) -> jax.Array:
+    """Multi-scale SSIM (Wang et al. 2003) over a (C, H, W) pair.
+
+    Used as the documented LPIPS substitute when no pretrained AlexNet
+    weights are available (see eval/lpips.py). The scale count adapts to
+    the image: scales where the downsampled side would drop below the
+    window are dropped and the weights renormalized."""
+    h, w = img1.shape[-2:]
+    max_scales = 1
+    while (
+        max_scales < len(weights)
+        and min(h, w) // (2 ** max_scales) >= window_size
+    ):
+        max_scales += 1
+    ws = jnp.asarray(weights[:max_scales])
+    ws = ws / ws.sum()
+    window = _gaussian_window(window_size, 1.5)
+
+    def down2(x):
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2), "VALID"
+        ) / 4.0
+
+    vals = []
+    for s in range(max_scales):
+        ssim_v, cs_v = _ssim_and_cs(img1, img2, window)
+        vals.append(ssim_v if s == max_scales - 1 else cs_v)
+        if s != max_scales - 1:
+            img1, img2 = down2(img1), down2(img2)
+    vals = jnp.clip(jnp.stack(vals), 1e-6, 1.0)
+    return jnp.prod(vals ** ws)
+
+
 _SCHARR_X = jnp.array(
     [[3.0, 10.0, 3.0], [0.0, 0.0, 0.0], [-3.0, -10.0, -3.0]], dtype=jnp.float32
 )

@@ -6,9 +6,12 @@ Replaces the reference's evo/torchmetrics stack
   same math evo's APE computes.
 * PSNR/SSIM on every 5th non-keyframe frame; rendered 15-d language maps
   saved as lang/{idx}.npy for the LERF-protocol 2D eval.
-* LPIPS requires pretrained AlexNet features; when torchvision weights are
-  unavailable it is reported as NaN (documented substitute: run the eval
-  script with --lpips off).
+* LPIPS via the pure-JAX AlexNet port (eval/lpips.py) when converted
+  weights are available (config Results.lpips_weights or env
+  OLS_LPIPS_WEIGHTS pointing at the npz from tools/convert_weights.py
+  --lpips). Without weights the documented substitute 1 − MS-SSIM is
+  reported instead, and the metrics JSON labels which metric was used
+  ("lpips_metric": "lpips_alex" | "msssim_proxy").
 """
 
 from __future__ import annotations
@@ -76,15 +79,34 @@ def _w2c(r, t):
     return m
 
 
+def _make_lpips(config):
+    """Real LPIPS if converted AlexNet weights exist, else the documented
+    1 − MS-SSIM substitute (see module docstring)."""
+    path = (config.get("Results", {}) or {}).get(
+        "lpips_weights"
+    ) or os.environ.get("OLS_LPIPS_WEIGHTS")
+    if path and os.path.exists(path):
+        from ..eval import lpips as lpips_mod
+
+        fn = lpips_mod.make_lpips_fn(lpips_mod.load_params(path))
+        return lambda a, b: float(fn(a, b)), "lpips_alex"
+    return (
+        lambda a, b: 1.0 - float(losses.ms_ssim(a, b)),
+        "msssim_proxy",
+    )
+
+
 def eval_rendering(slam, save_dir=None, tag="before_opt", every=5):
-    """PSNR/SSIM (+ saved language maps) on every `every`-th non-KF frame."""
+    """PSNR/SSIM/LPIPS (+ saved language maps) on every `every`-th non-KF
+    frame."""
     from .camera import Camera
     from .renderer import activate
 
     fe, be = slam.frontend, slam.backend
     inputs = activate(be.params, be.aux.active)
     kf_set = set(fe.kf_indices)
-    psnrs, ssims = [], []
+    lpips_fn, lpips_name = _make_lpips(slam.config)
+    psnrs, ssims, lpipss = [], [], []
     lang_dir = None
     if save_dir is not None:
         lang_dir = Path(save_dir) / tag / "lang"
@@ -106,12 +128,14 @@ def eval_rendering(slam, save_dir=None, tag="before_opt", every=5):
         img = jnp.clip(out.color, 0.0, 1.0)
         psnrs.append(float(losses.psnr(img, cam.image)))
         ssims.append(float(losses.ssim(img, cam.image)))
+        lpipss.append(lpips_fn(img, cam.image))
         if lang_dir is not None and out.language.shape[0] > 0:
             np.save(lang_dir / f"{idx:05d}.npy", np.asarray(out.language))
     metrics = {
         "mean_psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
         "mean_ssim": float(np.mean(ssims)) if ssims else float("nan"),
-        "mean_lpips": float("nan"),  # needs pretrained AlexNet weights
+        "mean_lpips": float(np.mean(lpipss)) if lpipss else float("nan"),
+        "lpips_metric": lpips_name,
         "tag": tag,
     }
     if save_dir is not None:

@@ -255,6 +255,13 @@ def convert_online_ae(sd: dict) -> dict:
     }}
 
 
+def convert_lpips(sd: dict) -> dict:
+    """Flatten a torch LPIPS(alex) state_dict (the `lpips` package layout:
+    net.slice{1..5}.{i}.{weight,bias} + lin{0..4}.model.1.weight) to the
+    raw-key npz consumed by eval/lpips.py:load_params."""
+    return {k: _t(v) for k, v in sd.items() if k.endswith(("weight", "bias"))}
+
+
 def main():
     import torch
 
@@ -263,6 +270,7 @@ def main():
     ap.add_argument("--hr")
     ap.add_argument("--ae")
     ap.add_argument("--online-ae")
+    ap.add_argument("--lpips")
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -295,6 +303,12 @@ def main():
         _save_tree(
             os.path.join(args.out, "online_ae.npz"),
             convert_online_ae(load_sd(args.online_ae)),
+        )
+    if args.lpips:
+        # Flat keys (dots preserved) — read back by eval/lpips.py:load_params.
+        np.savez(
+            os.path.join(args.out, "lpips_alex.npz"),
+            **convert_lpips(load_sd(args.lpips)),
         )
 
 
