@@ -29,17 +29,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def pca_colormap(feat: np.ndarray) -> np.ndarray:
-    """(H, W, C) features → (H, W, 3) PCA projection in [0, 1]
-    (reference eval/colormaps.py apply_pca_colormap behavior)."""
-    h, w, c = feat.shape
-    flat = feat.reshape(-1, c).astype(np.float64)
-    flat = flat - flat.mean(axis=0)
-    _, _, vt = np.linalg.svd(flat, full_matrices=False)
-    proj = flat @ vt[:3].T
-    lo = np.percentile(proj, 1, axis=0)
-    hi = np.percentile(proj, 99, axis=0)
-    proj = np.clip((proj - lo) / np.maximum(hi - lo, 1e-9), 0, 1)
-    return proj.reshape(h, w, 3)
+    """(H, W, C) features → (H, W, 3) PCA projection in [0, 1] via the
+    shared eval colormaps module (reference eval/colormaps.py:176-215)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "eval"))
+    from colormaps import apply_pca_colormap
+
+    return apply_pca_colormap(feat)
 
 
 def main():

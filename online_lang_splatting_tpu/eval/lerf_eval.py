@@ -131,6 +131,62 @@ def decode_lang_map(lang_map: np.ndarray, extractor, online_ae=None,
     return out
 
 
+def load_annotations(ann_path) -> dict:
+    """Load GT annotations from either supported format:
+
+    * our consolidated `ann.json` ({frame: {label: {mask_file|mask,
+      bboxes}}}, eval/create_replica_labels.py), or
+    * a folder of labelme-style `frame_XXXXX.json` files with polygon
+      segmentations (eval/replica_save_labels.py — the reference
+      eval_gt_lerfdata input, evaluate_langsplat.py:52-94).
+
+    Returns {frame_key: {label: {"mask": bool (H,W), "bboxes": (N,4)}}}.
+    """
+    ann_path = Path(ann_path)
+    if ann_path.is_dir():
+        anns: dict = {}
+        for js in sorted(ann_path.glob("*.json")):
+            data = json.loads(js.read_text())
+            if "objects" not in data:
+                continue
+            h, w = data["info"]["height"], data["info"]["width"]
+            name = data["info"]["name"]
+            idx = int(name.split("_")[-1].split(".")[0])
+            frame: dict = {}
+            for obj in data["objects"]:
+                label = obj["category"]
+                mask = _polygons_to_mask((h, w), obj["segmentation"])
+                box = np.asarray(obj["bbox"], np.float32).reshape(-1, 4)
+                if label in frame:
+                    frame[label]["mask"] = np.logical_or(
+                        frame[label]["mask"], mask
+                    )
+                    frame[label]["bboxes"] = np.concatenate(
+                        [frame[label]["bboxes"], box]
+                    )
+                else:
+                    frame[label] = {"mask": mask.astype(bool), "bboxes": box}
+            anns[f"{idx:05d}"] = frame
+        return anns
+    anns = json.loads(ann_path.read_text())
+    for frame_ann in anns.values():
+        for q in frame_ann.values():
+            if "mask_file" in q and "mask" not in q:
+                q["mask"] = np.load(ann_path.parent / q["mask_file"])
+            q["mask"] = np.asarray(q["mask"])
+            q["bboxes"] = np.asarray(q["bboxes"])
+    return anns
+
+
+def _polygons_to_mask(shape, points_list):
+    import cv2
+
+    mask = np.zeros(shape, np.uint8)
+    for pts in points_list:
+        cv2.fillPoly(mask, [np.asarray(pts, np.int32)], 1)
+    return mask
+
+
 def evaluate_scene(
     lang_dir: str,
     ann_path: str,
@@ -143,18 +199,9 @@ def evaluate_scene(
     """Scene-level mIoU / localization accuracy over annotated frames.
 
     lang_dir holds rendered {idx}.npy (L, H, W) maps; ann_path holds
-    labelme-style JSON annotations per frame (reference
-    create_replica_labels.py format)."""
+    annotations in either supported format (see load_annotations)."""
     lang_dir = Path(lang_dir)
-    ann_path = Path(ann_path)
-    anns = json.loads(ann_path.read_text())
-    # Resolve mask_file references (create_replica_labels.py output format).
-    for frame_ann in anns.values():
-        for q in frame_ann.values():
-            if "mask_file" in q and "mask" not in q:
-                q["mask"] = np.load(ann_path.parent / q["mask_file"])
-            q["mask"] = np.asarray(q["mask"])
-            q["bboxes"] = np.asarray(q["bboxes"])
+    anns = load_annotations(ann_path)
     iou_all, acc, total = [], 0, 0
     for frame_name, img_ann in anns.items():
         f = lang_dir / f"{frame_name}.npy"
@@ -163,6 +210,57 @@ def evaluate_scene(
         lang_map = np.load(f)
         clip_map = decode_lang_map(lang_map, extractor, online_ae, eval_size)
         sem_map = clip_map[None]  # single level
+        relevancy.set_positives(list(img_ann.keys()))
+        ious, _ = activate_stream(sem_map, relevancy, img_ann, mask_thresh)
+        iou_all.extend(ious)
+        acc += lerf_localization(sem_map, relevancy, img_ann)
+        total += len(img_ann)
+    return {
+        "miou": float(np.mean(iou_all)) if iou_all else float("nan"),
+        "localization_acc": acc / max(total, 1),
+        "num_queries": total,
+    }
+
+
+def evaluate_scene_multilevel(
+    feat_dirs,
+    ann_path: str,
+    decode_fn,
+    relevancy: CLIPRelevancy,
+    eval_size=(480, 640),
+    mask_thresh: float = 0.4,
+    hwc: bool = True,
+):
+    """LangSplat-protocol eval: one rendered-feature dir PER LEVEL
+    (reference evaluate_langsplat.py:227-290). Each frame's levels are
+    decoded to CLIP space via `decode_fn((HW, code) → (HW, 768))`, stacked
+    into (levels, H, W, 768), and scored with the shared LERF relevancy
+    protocol; `hwc` selects LangSplat's (H, W, C) .npy layout vs our
+    (C, H, W)."""
+    import cv2
+
+    anns = load_annotations(ann_path)
+    feat_dirs = [Path(d) for d in feat_dirs]
+    h, w = eval_size
+    iou_all, acc, total = [], 0, 0
+    for frame_name, img_ann in anns.items():
+        levels = []
+        for d in feat_dirs:
+            f = d / f"{frame_name}.npy"
+            if not f.exists():
+                f = d / f"{int(frame_name)}.npy"
+            if not f.exists():
+                break
+            arr = np.load(f)
+            if not hwc:
+                arr = arr.transpose(1, 2, 0)
+            if arr.shape[:2] != (h, w):
+                arr = cv2.resize(arr, (w, h), interpolation=cv2.INTER_LINEAR)
+            dec = np.asarray(decode_fn(arr.reshape(-1, arr.shape[-1])))
+            levels.append(dec.reshape(h, w, -1))
+        if len(levels) != len(feat_dirs):
+            continue
+        sem_map = np.stack(levels)
         relevancy.set_positives(list(img_ann.keys()))
         ious, _ = activate_stream(sem_map, relevancy, img_ann, mask_thresh)
         iou_all.extend(ious)
