@@ -53,6 +53,19 @@ class BaseDataset:
         self.dist_coeffs = np.array(
             [calib.get(k, 0.0) for k in ("k1", "k2", "p1", "p2", "k3")]
         )
+        self._undistort_maps = None
+        if self.distorted:
+            # Precomputed once like the reference (dataset.py:269-276);
+            # every frame is remapped through these in __getitem__.
+            import cv2
+
+            k = np.array(
+                [[self.fx, 0, self.cx], [0, self.fy, self.cy], [0, 0, 1]]
+            )
+            self._undistort_maps = cv2.initUndistortRectifyMap(
+                k, self.dist_coeffs, np.eye(3), k,
+                (self.width, self.height), cv2.CV_32FC1,
+            )
         self.color_paths: list[str] = []
         self.depth_paths: list[str] = []
         self.poses: list[np.ndarray] = []
@@ -69,17 +82,13 @@ class BaseDataset:
 
     def __getitem__(self, idx):
         image = _imread(self.color_paths[idx])[..., :3]
-        if self.distorted:
+        if self._undistort_maps is not None:
             import cv2
 
-            k = np.array(
-                [[self.fx, 0, self.cx], [0, self.fy, self.cy], [0, 0, 1]]
+            image = cv2.remap(
+                image, self._undistort_maps[0], self._undistort_maps[1],
+                cv2.INTER_LINEAR,
             )
-            map1, map2 = cv2.initUndistortRectifyMap(
-                k, self.dist_coeffs, np.eye(3), k,
-                (self.width, self.height), cv2.CV_32FC1,
-            )
-            image = cv2.remap(image, map1, map2, cv2.INTER_LINEAR)
         depth = (
             _imread(self.depth_paths[idx]).astype(np.float32) / self.depth_scale
         )
@@ -128,16 +137,30 @@ class ReplicaDataset(BaseDataset):
 
 
 class TUMDataset(BaseDataset):
-    """TUM RGB-D with timestamp association (dataset.py TUMParser)."""
+    """TUM RGB-D with timestamp association + 32 FPS subsampling
+    (dataset.py TUMParser:84,110-133)."""
 
-    def __init__(self, config: dict):
+    def __init__(self, config: dict, frame_rate: float = 32.0):
         super().__init__(config)
         root = Path(config["Dataset"]["dataset_path"])
         rgb = self._read_list(root / "rgb.txt")
         depth = self._read_list(root / "depth.txt")
-        gt = self._read_list(root / "groundtruth.txt")
+        gt_file = root / "groundtruth.txt"
+        if not gt_file.exists():
+            gt_file = root / "pose.txt"  # reference fallback (dataset.py:114)
+        gt = self._read_list(gt_file)
         assoc = self._associate(rgb[:, 0], depth[:, 0], gt[:, 0])
-        for i, j, k in assoc:
+        # Frame-rate subsampling (dataset.py:129-133): keep a frame only
+        # when > 1/frame_rate has elapsed since the last kept frame.
+        t_rgb = rgb[:, 0].astype(np.float64)
+        indices = [0]
+        for a in range(1, len(assoc)):
+            t0 = t_rgb[assoc[indices[-1]][0]]
+            t1 = t_rgb[assoc[a][0]]
+            if t1 - t0 > 1.0 / frame_rate:
+                indices.append(a)
+        for a in indices:
+            i, j, k = assoc[a]
             self.color_paths.append(str(root / rgb[i, 1]))
             self.depth_paths.append(str(root / depth[j, 1]))
             q = gt[k, 4:8].astype(np.float64)  # qx qy qz qw
@@ -238,13 +261,51 @@ class SyntheticDataset(BaseDataset):
 
 
 class EuRoCDataset(BaseDataset):
-    """EuRoC MAV stereo: SGBM depth from the cam0/cam1 pair
-    (reference dataset.py StereoDataset + EuRoCParser)."""
+    """EuRoC MAV stereo: SGBM depth from the RECTIFIED cam0/cam1 pair
+    (reference dataset.py StereoDataset:364-465 + EuRoCParser).
+
+    Rectification: per-camera cv2.initUndistortRectifyMap built from the
+    config's cam0/cam1 raw intrinsics (fx/fy/cx/cy/k1/k2/p1/p2/k3),
+    rectification rotations R (3x3 row-major under R.data) and rectified
+    projections K — the layout of the reference EuRoC yaml configs. SGBM
+    on unrectified pairs yields wrong depth, so when `distorted` is set
+    and cam0/cam1 calibration is present the remap ALWAYS runs."""
 
     def __init__(self, config: dict):
         super().__init__(config)
         root = Path(config["Dataset"]["dataset_path"])
         start = config["Dataset"].get("start_idx", 0)
+        calib = config["Dataset"]["Calibration"]
+        self._rect_maps = None
+        if calib.get("distorted", False) and "cam0" in calib:
+            import cv2
+
+            def cam_maps(cam):
+                # Reference config layout (dataset.py:360-447):
+                # cam{0,1}: {raw: {fx..k3}, opt: {fx..cy}, R: {data: 9}}.
+                raw, opt = cam["raw"], cam["opt"]
+                k_raw = np.array([
+                    [raw["fx"], 0.0, raw["cx"]],
+                    [0.0, raw["fy"], raw["cy"]],
+                    [0.0, 0.0, 1.0],
+                ])
+                dist = np.array([
+                    raw.get("k1", 0.0), raw.get("k2", 0.0),
+                    raw.get("p1", 0.0), raw.get("p2", 0.0),
+                    raw.get("k3", 0.0),
+                ])
+                rmat = np.array(cam["R"]["data"]).reshape(3, 3)
+                k_new = np.array([
+                    [opt["fx"], 0.0, opt["cx"]],
+                    [0.0, opt["fy"], opt["cy"]],
+                    [0.0, 0.0, 1.0],
+                ])
+                return cv2.initUndistortRectifyMap(
+                    k_raw, dist, rmat, k_new,
+                    (self.width, self.height), cv2.CV_32FC1,
+                )
+
+            self._rect_maps = (cam_maps(calib["cam0"]), cam_maps(calib["cam1"]))
         self.color_paths = _natsorted(
             [str(p) for p in (root / "mav0/cam0/data").glob("*.png")]
         )[start:]
@@ -276,13 +337,23 @@ class EuRoCDataset(BaseDataset):
 
         left = cv2.imread(self.color_paths[idx], cv2.IMREAD_GRAYSCALE)
         right = cv2.imread(self.color_paths_r[idx], cv2.IMREAD_GRAYSCALE)
+        if self._rect_maps is not None:
+            (m0x, m0y), (m1x, m1y) = self._rect_maps
+            left = cv2.remap(left, m0x, m0y, cv2.INTER_LINEAR)
+            right = cv2.remap(right, m1x, m1y, cv2.INTER_LINEAR)
+        # SGBM settings per the reference StereoDataset (dataset.py:449-452).
         sgbm = cv2.StereoSGBM_create(
-            minDisparity=0, numDisparities=64, blockSize=8,
-            P1=8 * 9 * 9, P2=32 * 9 * 9,
+            minDisparity=0, numDisparities=64, blockSize=20,
         )
-        disp = sgbm.compute(left, right).astype(np.float32) / 32.0
-        baseline_fx = self.config["Dataset"].get("baseline_fx", 47.9)
-        depth = np.where(disp > 0, baseline_fx / np.maximum(disp, 1e-3), 0.0)
+        sgbm.setUniquenessRatio(40)
+        disp = sgbm.compute(left, right).astype(np.float32) / 16.0
+        disp[disp == 0] = 1e10
+        # ORB-SLAM2 EuRoC baseline*fx (dataset.py:455-458).
+        baseline_fx = self.config["Dataset"].get(
+            "baseline_fx", 47.90639384423901
+        )
+        depth = baseline_fx / disp
+        depth[depth < 0] = 0.0
         color = np.repeat(left[None].astype(np.float32) / 255.0, 3, axis=0)
         return (
             np.clip(color, 0, 1), depth.astype(np.float32),
@@ -318,6 +389,14 @@ class RealsenseDataset(BaseDataset):
         frames = self.align.process(self.pipeline.wait_for_frames())
         color = np.asanyarray(frames.get_color_frame().get_data())
         depth = np.asanyarray(frames.get_depth_frame().get_data())
+        if self._undistort_maps is not None:
+            # Reference RealsenseDataset remaps every frame (dataset.py:580).
+            import cv2
+
+            color = cv2.remap(
+                color, self._undistort_maps[0], self._undistort_maps[1],
+                cv2.INTER_LINEAR,
+            )
         color = np.transpose(color.astype(np.float32) / 255.0, (2, 0, 1))
         depth = depth.astype(np.float32) / self.depth_scale
         return np.clip(color, 0, 1), depth, np.eye(4, dtype=np.float32), None, None
