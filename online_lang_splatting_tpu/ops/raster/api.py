@@ -50,6 +50,8 @@ class RasterOutput(NamedTuple):
     radii: jax.Array       # (P,) int32
     n_touched: jax.Array   # (P,) int32
     final_t: jax.Array     # (H, W)
+    n_contrib: jax.Array   # (H, W) int32 — last contributing position in
+                           # the pixel's tile range (forward.cu n_contrib)
     num_instances: jax.Array  # () int32 — Gaussian-tile instances this frame
     overflow: jax.Array       # () bool — instance capacity exceeded (output
                               # truncated; re-render with a larger bucket)
@@ -149,6 +151,7 @@ def _rasterize_highp(
         radii=prep.radius,
         n_touched=out.n_touched,
         final_t=out.final_t,
+        n_contrib=out.n_contrib,
         num_instances=out.num_instances,
         overflow=out.overflow,
     )

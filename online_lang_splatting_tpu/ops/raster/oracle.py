@@ -75,7 +75,7 @@ def blend_oracle(
     n_pix = pix.shape[0]
 
     def step(carry, g):
-        t, done, acc_c, acc_l, acc_d, n_contrib, idx = carry
+        t, done, acc_c, acc_l, acc_d, n_contrib, range_pos = carry
         (g_xy, g_conic, g_op, g_col, g_lng, g_dep, g_valid, g_rmin, g_rmax) = g
 
         in_rect = (
@@ -103,10 +103,14 @@ def blend_oracle(
         acc_l = acc_l + w[:, None] * g_lng[None, :]
         acc_d = acc_d + w * g_dep
         touched = jnp.sum((contrib & (test_t > C.N_TOUCHED_T)).astype(jnp.int32))
-        n_contrib = jnp.where(contrib, idx + 1, n_contrib)
+        # CUDA `contributor` counts positions within the pixel's TILE range
+        # (every in-rect Gaussian, skipped or not; forward.cu:441-447), and
+        # n_contrib records the last position that actually contributed.
+        range_pos = range_pos + in_rect.astype(jnp.int32)
+        n_contrib = jnp.where(contrib, range_pos, n_contrib)
         t = jnp.where(contrib, test_t, t)
         done = done | stop_now
-        return (t, done, acc_c, acc_l, acc_d, n_contrib, idx + 1), touched
+        return (t, done, acc_c, acc_l, acc_d, n_contrib, range_pos), touched
 
     init = (
         jnp.ones((n_pix,), feats.dtype),
@@ -115,15 +119,12 @@ def blend_oracle(
         jnp.zeros((n_pix, f_lang), feats.dtype),
         jnp.zeros((n_pix,), feats.dtype),
         jnp.zeros((n_pix,), jnp.int32),
-        jnp.int32(0),
+        jnp.zeros((n_pix,), jnp.int32),
     )
     (t, _, acc_c, acc_l, acc_d, n_contrib, _), touched_sorted = jax.lax.scan(
         step, init, (xy, conic, op, col, lng, dep, valid, rect_min, rect_max)
     )
 
-    # `contributor` in the CUDA kernel counts positions within the pixel's
-    # tile list, not the global list; we expose the global-order count,
-    # which serves the same purpose (last contributing position bound).
     n_touched = jnp.zeros((p,), jnp.int32).at[order].set(
         touched_sorted.astype(jnp.int32)
     )

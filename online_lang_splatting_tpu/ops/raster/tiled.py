@@ -165,7 +165,7 @@ def _fwd_kernel(
     # outputs
     acc_ref, nt_ref,
     # scratch
-    t_s, done_s, acc_s, nt_s,
+    t_s, done_s, acc_s, nt_s, nc_s, off_s,
     *, tiles_x: int, num_tiles: int, tile: int, pix: int, f_pad: int,
     f_out: int, width: int, height: int,
 ):
@@ -185,6 +185,8 @@ def _fwd_kernel(
         acc_s[...] = jnp.zeros_like(acc_s)
         t_s[...] = jnp.ones_like(t_s)
         done_s[...] = jnp.zeros_like(done_s)
+        nc_s[...] = jnp.zeros_like(nc_s)
+        off_s[0, 0] = 0
 
     @pl.when(active)
     def _():
@@ -202,6 +204,16 @@ def _fwd_kernel(
         nt_s[pl.ds(nt_row, 1), :] = jnp.sum(
             touched, axis=1, dtype=jnp.int32
         ).reshape(1, CHUNK)
+        # last-contributor index within the tile's instance sequence
+        # (1-based, 0 = no contributor) — the CUDA kernels' n_contrib.
+        glob = (
+            _row_iota(contrib.shape) + 1 + off_s[0, 0]
+        ).astype(jnp.float32)
+        cand = jnp.max(
+            jnp.where(contrib, glob, 0.0), axis=0, keepdims=True
+        )
+        nc_s[...] = jnp.maximum(nc_s[...], cand)
+        off_s[0, 0] = off_s[0, 0] + CHUNK
         t_s[...] = t_new
         done_s[...] = done_new
 
@@ -211,8 +223,10 @@ def _fwd_kernel(
 
     @pl.when(cl_ref[c] == 1)
     def _():
-        # final_T rides as channel row f_out of the accumulator tile.
+        # final_T rides as channel row f_out of the accumulator tile and
+        # n_contrib as row f_out+1.
         acc_s[pl.ds(f_out, 1), :] = t_s[...]
+        acc_s[pl.ds(f_out + 1, 1), :] = nc_s[...]
         acc_ref[...] = acc_s[...][None]
 
     @pl.when(nt_row == NT_ROWS - 1)
@@ -316,8 +330,10 @@ def _pack_instances(xy, conic, opacity, color, lang, depth, point_list):
     valid = (point_list >= 0).astype(jnp.float32)
     f_lang = lang.shape[1]
     f_out = 3 + f_lang + 1
-    # Reserve one extra row: final_T rides as channel f_out in the output.
-    f_pad = ((f_out + 1 + 7) // 8) * 8
+    # Reserve two extra rows: final_T rides as channel f_out and the
+    # per-pixel last-contributor index (n_contrib, forward.cu:515-644
+    # semantics) as channel f_out+1.
+    f_pad = ((f_out + 2 + 7) // 8) * 8
     table = jnp.concatenate(
         [
             xy, conic, opacity[:, None],          # geom rows 0..5
@@ -378,6 +394,8 @@ def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, point_list,
             pltpu.VMEM((1, pix), jnp.float32),
             pltpu.VMEM((f_pad, pix), jnp.float32),
             pltpu.VMEM((NT_ROWS, CHUNK), jnp.int32),
+            pltpu.VMEM((1, pix), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.int32),
         ],
     )
     acc, n_touched = pl.pallas_call(
@@ -544,13 +562,16 @@ def blend_tiled(
     language = img[3 : 3 + f_lang]
     depth_img = img[3 + f_lang : 4 + f_lang]
     opacity_img = (1.0 - ft_img)[None]
+    # Row f_out+1 carries the per-pixel last-contributor index (int-valued
+    # f32; stop_gradient-by-cast like the CUDA n_contrib buffer).
+    n_contrib = img[f_out + 1].astype(jnp.int32)
     return BlendOutput(
         color=color,
         language=language,
         depth=depth_img,
         opacity=opacity_img,
         final_t=ft_img,
-        n_contrib=jnp.zeros((height, width), jnp.int32),
+        n_contrib=n_contrib,
         n_touched=n_touched,
         num_instances=binning.num_instances,
         overflow=binning.overflow,

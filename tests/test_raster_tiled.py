@@ -46,6 +46,9 @@ def test_forward_parity(seed, n, w, h, tile):
     np.testing.assert_array_equal(
         np.asarray(tpu.n_touched), np.asarray(ref.n_touched)
     )
+    np.testing.assert_array_equal(
+        np.asarray(tpu.n_contrib), np.asarray(ref.n_contrib)
+    )
 
 
 def test_saturated_scene_parity():
@@ -62,6 +65,9 @@ def test_saturated_scene_parity():
     np.testing.assert_allclose(tpu.final_t, ref.final_t, atol=1e-6, rtol=1e-3)
     np.testing.assert_array_equal(
         np.asarray(tpu.n_touched), np.asarray(ref.n_touched)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tpu.n_contrib), np.asarray(ref.n_contrib)
     )
 
 
