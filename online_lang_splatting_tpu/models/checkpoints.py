@@ -59,6 +59,7 @@ def load_extractor_from_dir(weights_dir, config):
     extractor = LangFeatureExtractor(
         visual_params=visual, hr_variables=hr, ae_variables=ae,
         encoder_dims=enc, decoder_dims=dec,
+        use_hr=lang_cfg.get("hr_model", True),
     )
 
     online_ae = None

@@ -43,6 +43,7 @@ class LangFeatureExtractor:
         dtype=jnp.float32,
         compute_dtype=None,
         rng: jax.Array | None = None,
+        clip_resolution=None,
     ):
         # compute_dtype=jnp.bfloat16 halves HBM traffic and doubles MXU
         # throughput for the conv towers; the reference's own eval encoder
@@ -50,6 +51,9 @@ class LangFeatureExtractor:
         # precision inference is within its accuracy envelope. Outputs are
         # cast back to `dtype`.
         self.compute_dtype = compute_dtype or dtype
+        # SED resizes every frame to 768x768 before the dense encode
+        # (sed_model.py:98,164); overridable for small-scale tests.
+        self.clip_resolution = clip_resolution or CLIP_RESOLUTION
         from .autoencoder import ONE_STAGE_DEC, ONE_STAGE_ENC
 
         self.visual = ConvNeXtCLIPVisual()
@@ -96,7 +100,7 @@ class LangFeatureExtractor:
     def _dense_features(self, visual_params, rgb):
         """rgb: (H, W, 3) float 0-255 → pyramid dict (NHWC, batch of 1)."""
         x = normalize_image(rgb)[None].astype(self.compute_dtype)
-        x = resize_bilinear(x, CLIP_RESOLUTION)
+        x = resize_bilinear(x, self.clip_resolution)
         feats = self.visual.apply({"params": self._cast(visual_params)}, x)
         return {k: v.astype(self.dtype) for k, v in feats.items()}
 
@@ -122,8 +126,12 @@ class LangFeatureExtractor:
         x = normalize_image(rgb)[None].astype(self.compute_dtype)
         feats = self.visual.apply(
             {"params": self._cast(visual_params)},
-            resize_bilinear(x, CLIP_RESOLUTION),
+            resize_bilinear(x, self.clip_resolution),
         )
+        if self.hr is None:
+            # Reference hr_model=None path (slam_backend.py:537-554): the
+            # os32 dense CLIP map supervises directly, no refinement.
+            return feats["clip_vis_dense"], feats
         hr = self.hr.apply(
             self._cast(hr_variables), feats["clip_vis_dense"], feats["res3"],
             feats["res2"],
