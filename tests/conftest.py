@@ -14,3 +14,8 @@ import jax  # noqa: E402
 # override it after import so tests stay on the virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compile cache: repeated suite runs skip the (minutes of) CPU
+# XLA compiles. Separate from the TPU cache to avoid key churn.
+jax.config.update("jax_compilation_cache_dir", ".jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

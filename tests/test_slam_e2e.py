@@ -12,6 +12,8 @@ import pytest
 from online_lang_splatting_tpu.slam.config import load_config
 from online_lang_splatting_tpu.slam.system import SLAM
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def slam_run():
