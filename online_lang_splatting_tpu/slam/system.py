@@ -34,6 +34,24 @@ from .frontend import FrontEnd
 from .renderer import activate
 
 
+class _QueueViewer:
+    """Adapter: viewer interface over the GUI's packet queue."""
+
+    def __init__(self, q):
+        self.q = q
+
+    def submit(self, pkt):
+        try:
+            self.q.put_nowait(pkt)
+        except queue.Full:
+            pass
+
+    def close(self):
+        from ..gui.viewer import GaussianPacket
+
+        self.q.put(GaussianPacket(finish=True))
+
+
 class SLAM:
     def __init__(self, config: dict, lang_extractor=None, online_ae=None,
                  save_dir: Optional[str] = None):
@@ -79,13 +97,53 @@ class SLAM:
         self.eval_rendering = config.get("Results", {}).get("eval_rendering", False)
         self.fps = None
         self.viewer = None
-        if config.get("Results", {}).get("use_gui", False):
+        self.q_vis2main: "queue.Queue" = queue.Queue()
+        self._gui_paused = False
+        use_gui = config.get("Results", {}).get("use_gui", False)
+        if use_gui == "interactive":
+            # Reference open3d window (gui/slam_gui.py) on display-ful
+            # hosts; falls back to the headless viewer without open3d.
+            try:
+                from ..gui import slam_gui
+
+                params = slam_gui.ParamsGUI(
+                    q_main2vis=queue.Queue(maxsize=4),
+                    q_vis2main=self.q_vis2main,
+                    proj=self.proj, settings=self.settings,
+                )
+                self._gui = slam_gui.SLAM_GUI(params)
+                self._gui_thread = threading.Thread(
+                    target=self._gui.run, daemon=True
+                )
+                self._gui_thread.start()
+                self.viewer = _QueueViewer(params.q_main2vis)
+            except ImportError as e:
+                print(f"[gui] {e}; using HeadlessViewer")
+                use_gui = True
+        if use_gui is True:
             from ..gui.viewer import HeadlessViewer
 
             out = (save_dir or "results") / "viewer" if save_dir else "results/viewer"
             self.viewer = HeadlessViewer(str(out))
 
     # -- single-thread driver ----------------------------------------------
+
+    def _check_gui_pause(self):
+        """Honor Packet_vis2main(flag_pause) from the interactive viewer
+        (reference slam_frontend pause flow)."""
+        while True:
+            try:
+                msg = self.q_vis2main.get_nowait()
+                self._gui_paused = bool(getattr(msg, "flag_pause", False))
+            except queue.Empty:
+                break
+        while self._gui_paused:
+            time.sleep(0.05)
+            try:
+                msg = self.q_vis2main.get_nowait()
+                self._gui_paused = bool(getattr(msg, "flag_pause", False))
+            except queue.Empty:
+                pass
 
     def _sync_frontend_state(self):
         """Give the frontend the backend's current map + keyframe poses."""
@@ -116,11 +174,23 @@ class SLAM:
         cur_window: list[int] = []
         last_kf = 0
         frames_since_kf = 0
+        # Wall-clock phase accounting (reference logs Total FPS,
+        # slam.py:165-171; we additionally break it down).
+        self.phase_times = {"data": 0.0, "track": 0.0, "map": 0.0,
+                            "init": 0.0, "kf_insert": 0.0}
+
+        def _tick(phase, t0):
+            now = time.time()
+            self.phase_times[phase] += now - t0
+            return now
 
         for idx in range(n):
+            self._check_gui_pause()
+            t0 = time.time()
             cam = Camera.from_dataset(self.dataset, idx)
             cam.compute_grad_mask(self.config)
             fe.cameras[idx] = cam
+            t0 = _tick("data", t0)
 
             if idx == 0:
                 cam.update_rt(cam.r_gt, cam.t_gt)
@@ -128,6 +198,7 @@ class SLAM:
                 be.add_next_kf(0, cam, depthmap, init=True)
                 be.initialize_map(0, cam)
                 self._sync_frontend_state()
+                _tick("init", t0)
                 cur_window = [0]
                 fe.current_window = cur_window
                 fe.kf_indices = [0]
@@ -136,6 +207,7 @@ class SLAM:
 
             prev = fe.cameras[idx - self.use_every_n_frames]
             visibility = fe.track(cam, prev, self.proj)
+            t0 = _tick("track", t0)
             frames_since_kf += 1
             if self.viewer is not None:
                 from ..gui.viewer import GaussianPacket
@@ -178,10 +250,12 @@ class SLAM:
             be.viewpoints[idx] = cam
             be.current_window = cur_window
             be.add_next_kf(idx, cam, depthmap)
-            be.reset_keyframe_optimizer(self.frontend.window_size + 2)
+            be.reset_keyframe_optimizer(be._n_slots())
+            t0 = _tick("kf_insert", t0)
             be.map(cur_window, iters=iter_per_kf, lang_run=be.lang_train)
             be.map(cur_window, prune=True)
             self._sync_frontend_state()
+            _tick("map", t0)
             last_kf = idx
             frames_since_kf = 0
 
@@ -286,6 +360,7 @@ class SLAM:
         frames_since_kf = 0
         self.tracked_while_kf_in_flight = 0  # observability for tests
         for idx in range(n):
+            self._check_gui_pause()
             t_frame = time.time()
             cam = Camera.from_dataset(self.dataset, idx)
             cam.compute_grad_mask(self.config)

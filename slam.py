@@ -74,6 +74,14 @@ def main(argv=None):
                 save_dir=save_dir)
     slam.run(max_frames=args.max_frames)
     print(f"Total FPS: {slam.fps:.2f}")
+    if getattr(slam, "phase_times", None):
+        total = sum(slam.phase_times.values())
+        breakdown = ", ".join(
+            f"{k} {v:.1f}s" for k, v in slam.phase_times.items()
+        )
+        print(f"Phase wall-clock ({total:.1f}s accounted): {breakdown}")
+        print(f"Keyframes: {len(slam.frontend.kf_indices)}, "
+              f"gaussians: {int(slam.backend.aux.active.sum())}")
 
     if config.get("Results", {}).get("eval_rendering", False):
         from online_lang_splatting_tpu.slam import evaluation

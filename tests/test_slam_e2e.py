@@ -34,24 +34,27 @@ def test_keyframes_created(slam_run):
 
 
 def test_tracking_stays_reasonable(slam_run):
-    """Estimated trajectory should be in the right ballpark (synthetic
-    motion is a few cm per frame)."""
+    """Golden tracking gate: the 10-frame smoke run lands at ~0.074 m
+    median pose error / ~0.027 m ATE (measured 2026-08); gates carry 2x
+    headroom so they fail on real regressions, not platform noise."""
     fe = slam_run.frontend
     errs = []
     for idx, cam in fe.cameras.items():
         err = np.linalg.norm(cam.t - cam.t_gt)
         errs.append(err)
-    assert np.median(errs) < 0.5
+    assert np.median(errs) < 0.15
 
 
 def test_rendering_quality(slam_run):
     from online_lang_splatting_tpu.slam import evaluation
 
     metrics = evaluation.evaluate_run(slam_run, every=1)
-    assert np.isfinite(metrics["mean_psnr"])
-    # Synthetic scene after a very short smoke run: loose sanity floor.
-    assert metrics["mean_psnr"] > 7.5
-    assert np.isfinite(metrics["ate_rmse"])
+    # Golden quality gates (measured: PSNR 10.2, SSIM 0.31, ATE 0.027).
+    assert metrics["mean_psnr"] > 9.0, metrics
+    assert metrics["mean_ssim"] > 0.25, metrics
+    assert metrics["ate_rmse"] < 0.06, metrics
+    # LPIPS substitute must yield a number, not NaN.
+    assert np.isfinite(metrics["mean_lpips"]), metrics
 
 
 def test_language_channels_render(slam_run):
