@@ -66,6 +66,45 @@ def dp_ae_train_step(model, optimizer, mesh: Mesh):
 # Data-parallel mapping (keyframe-sharded SLAM optimization)
 
 
+def sharded_slot_grads(settings, mesh: Mesh, init_mode: bool):
+    """shard_map-wrapped `scan_slot_grads`: keyframe slots sharded over the
+    dp axis; per-Gaussian gradients + additive stats psum over ICI, max
+    radii pmax, per-slot outputs stay sharded. The shared multi-chip core
+    of dp_mapping_iteration and the dp mapping chunk."""
+    from ..slam.backend import scan_slot_grads
+
+    def local(params, active, proj, r, t, ea, eb, imgs, deps, lngs,
+              l_on, valid_f, lang_weight):
+        grads, loss, per_slot, stats = scan_slot_grads(
+            params, active, proj, r, t, ea, eb, imgs, deps, lngs,
+            l_on, valid_f, lang_weight,
+            settings=settings, init_mode=init_mode,
+        )
+        grads = jax.lax.psum(grads, "dp")
+        loss = jax.lax.psum(loss, "dp")
+        max_radii, grad_accum, denom = stats
+        stats = (
+            jax.lax.pmax(max_radii, "dp"),
+            jax.lax.psum(grad_accum, "dp"),
+            jax.lax.psum(denom, "dp"),
+        )
+        return grads, loss, per_slot, stats
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P("dp"), P("dp"), P("dp"), P("dp"),
+            P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P(),
+        ),
+        out_specs=(
+            P(), P(),
+            (P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+            (P(), P(), P()),
+        ),
+        check_rep=False,
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def dp_mapping_iteration(settings, mesh: Mesh, n_slots: int, init_mode: bool):
     """The FULL mapping iteration (identical math to
@@ -85,40 +124,10 @@ def dp_mapping_iteration(settings, mesh: Mesh, n_slots: int, init_mode: bool):
     Replaces the reference's single-GPU torch.multiprocessing backend
     (/root/reference/utils/slam_backend.py:454-767) with multi-chip SPMD.
     """
-    from ..slam.backend import apply_mapping_updates, scan_slot_grads
+    from ..slam.backend import apply_mapping_updates
 
     assert n_slots % mesh.size == 0, (n_slots, mesh.size)
-
-    def local(params, active, proj, r, t, ea, eb, imgs, deps, lngs, l_on,
-              valid_f, lang_weight):
-        grads, loss, per_slot, stats = scan_slot_grads(
-            params, active, proj, r, t, ea, eb, imgs, deps, lngs,
-            l_on, valid_f, lang_weight,
-            settings=settings, init_mode=init_mode,
-        )
-        grads = jax.lax.psum(grads, "dp")
-        loss = jax.lax.psum(loss, "dp")
-        max_radii, grad_accum, denom = stats
-        stats = (
-            jax.lax.pmax(max_radii, "dp"),
-            jax.lax.psum(grad_accum, "dp"),
-            jax.lax.psum(denom, "dp"),
-        )
-        return grads, loss, per_slot, stats
-
-    sharded = shard_map(
-        local, mesh=mesh,
-        in_specs=(
-            P(), P(), P(), P("dp"), P("dp"), P("dp"), P("dp"),
-            P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P(),
-        ),
-        out_specs=(
-            P(), P(),
-            (P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
-            (P(), P(), P()),
-        ),
-        check_rep=False,
-    )
+    sharded = sharded_slot_grads(settings, mesh, init_mode)
 
     def fn(params, opt, aux, proj,
            slot_r, slot_t, slot_ea, slot_eb,

@@ -261,41 +261,9 @@ def make_mapping_chunk(
     n_win = n_slots - 2
 
     if mesh is not None:
-        from jax.experimental.shard_map import shard_map
-        from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import sharded_slot_grads
 
-        def slot_grads(params, active, proj, r, t, ea, eb, imgs, deps, lngs,
-                       l_on, valid_f, lw):
-            def local(params, active, proj, r, t, ea, eb, imgs, deps, lngs,
-                      l_on, valid_f, lw):
-                grads, loss, per_slot, stats = scan_slot_grads(
-                    params, active, proj, r, t, ea, eb, imgs, deps, lngs,
-                    l_on, valid_f, lw, settings=settings, init_mode=init_mode,
-                )
-                grads = jax.lax.psum(grads, "dp")
-                loss = jax.lax.psum(loss, "dp")
-                max_radii, grad_accum, denom = stats
-                stats = (
-                    jax.lax.pmax(max_radii, "dp"),
-                    jax.lax.psum(grad_accum, "dp"),
-                    jax.lax.psum(denom, "dp"),
-                )
-                return grads, loss, per_slot, stats
-
-            return shard_map(
-                local, mesh=mesh,
-                in_specs=(
-                    P(), P(), P(), P("dp"), P("dp"), P("dp"), P("dp"),
-                    P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P(),
-                ),
-                out_specs=(
-                    P(), P(),
-                    (P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
-                    (P(), P(), P()),
-                ),
-                check_rep=False,
-            )(params, active, proj, r, t, ea, eb, imgs, deps, lngs,
-              l_on, valid_f, lw)
+        slot_grads = sharded_slot_grads(settings, mesh, init_mode)
     else:
         def slot_grads(params, active, proj, r, t, ea, eb, imgs, deps, lngs,
                        l_on, valid_f, lw):
