@@ -80,25 +80,49 @@ class BaseDataset:
     def __len__(self):
         return len(self.color_paths)
 
+    def _load_color(self, path) -> np.ndarray:
+        """(3, H, W) float32 [0,1]; native C++ decode (GIL-free) with a
+        PIL fallback."""
+        from .. import native
+
+        out = native.decode_rgb(path, self.height, self.width) if (
+            native.available()
+        ) else None
+        if out is None:
+            image = _imread(path)[..., :3]
+            out = np.transpose(
+                image.astype(np.float32) / 255.0, (2, 0, 1)
+            )
+        return out
+
+    def _load_depth(self, path) -> np.ndarray:
+        from .. import native
+
+        out = native.decode_depth(
+            path, self.height, self.width, float(self.depth_scale)
+        ) if native.available() else None
+        if out is None:
+            out = _imread(path).astype(np.float32) / self.depth_scale
+        return out
+
     def __getitem__(self, idx):
-        image = _imread(self.color_paths[idx])[..., :3]
+        color = self._load_color(self.color_paths[idx])
         if self._undistort_maps is not None:
             import cv2
 
-            image = cv2.remap(
-                image, self._undistort_maps[0], self._undistort_maps[1],
+            hwc = cv2.remap(
+                color.transpose(1, 2, 0),
+                self._undistort_maps[0], self._undistort_maps[1],
                 cv2.INTER_LINEAR,
             )
-        depth = (
-            _imread(self.depth_paths[idx]).astype(np.float32) / self.depth_scale
-        )
+            color = hwc.transpose(2, 0, 1)
+        depth = self._load_depth(self.depth_paths[idx])
         gt_lang = None
         lang_mask = None
         if self.load_labels and idx < len(self.feat_map_paths):
             gt_lang = np.load(self.feat_map_paths[idx])
             lang_mask = gt_lang
-        color = np.clip(image.astype(np.float32) / 255.0, 0.0, 1.0)
-        color = np.transpose(color, (2, 0, 1))
+        color = np.clip(color, 0.0, 1.0)
         return color, depth, self.poses[idx].astype(np.float32), gt_lang, lang_mask
 
 

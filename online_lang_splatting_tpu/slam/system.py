@@ -57,6 +57,14 @@ class SLAM:
                  save_dir: Optional[str] = None):
         self.config = config
         self.dataset = load_dataset(config)
+        if (
+            config["Dataset"].get("prefetch", True)
+            and config["Dataset"]["type"] != "realsense"  # live streams
+            and len(self.dataset) > 0
+        ):
+            from .prefetch import PrefetchDataset
+
+            self.dataset = PrefetchDataset(self.dataset)
         self.save_dir = save_dir
         calib = config["Dataset"]["Calibration"]
         width, height = calib["width"], calib["height"]
