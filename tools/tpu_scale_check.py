@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Staged hardware check at Replica scale — bisects TPU worker crashes.
+
+Stages (run one with --stage N; each stage is a separate process so a
+worker crash is attributable):
+  1  raster forward at 200k gaussians / 1200x680
+  2  forward+backward (value_and_grad through the custom VJP)
+  3  one full mapping_iteration (12 slots)
+  4  mapping chunk n=4
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", type=int, required=True)
+    ap.add_argument("--n", type=int, default=200_000)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from online_lang_splatting_tpu.models import gaussians as G
+    from online_lang_splatting_tpu.ops import graphics
+    from online_lang_splatting_tpu.ops.raster import RasterSettings, rasterize
+
+    h, w = 680, 1200
+    fx = fy = 600.0
+    cap = 1 << 17
+    rng = np.random.default_rng(0)
+    n = args.n
+    settings = RasterSettings(
+        image_height=h, image_width=w,
+        tanfovx=w / (2 * fx), tanfovy=h / (2 * fy),
+        sh_degree=0, backend="tpu", max_instances=8 * cap,
+    )
+    proj = graphics.projection_matrix(0.01, 100.0, w / 2, h / 2, fx, fy, w, h)
+    view = jnp.eye(4)
+
+    means = jnp.asarray(
+        np.stack([
+            rng.uniform(-3, 3, n), rng.uniform(-2, 2, n),
+            rng.uniform(2.0, 8.0, n),
+        ], 1), jnp.float32)
+    scales = jnp.asarray(rng.uniform(0.01, 0.05, (n, 3)), jnp.float32)
+    quats = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.2, 0.9, n), jnp.float32)
+    shs = jnp.asarray(rng.normal(size=(n, 1, 3)) * 0.3, jnp.float32)
+    lang = jnp.asarray(rng.normal(size=(n, 15)) * 0.1, jnp.float32)
+
+    if args.stage in (1, 2):
+        def fwd(means, opac, scales, lang):
+            out = rasterize(
+                means, opac, scales, quats, shs=shs, language_features=lang,
+                viewmatrix=view, projmatrix=proj, settings=settings,
+            )
+            return out
+
+        if args.stage == 1:
+            f = jax.jit(lambda *a: fwd(*a).color.sum())
+        else:
+            f = jax.jit(jax.grad(
+                lambda *a: fwd(*a).color.sum()
+                + fwd(*a).language.sum() + fwd(*a).depth.sum()
+            ))
+        t0 = time.time()
+        r = jax.block_until_ready(f(means, opac, scales, lang))
+        print(f"stage {args.stage} compile+run {time.time()-t0:.1f}s")
+        for _ in range(3):
+            t0 = time.time()
+            jax.block_until_ready(f(means, opac, scales, lang))
+            print(f"  run {1e3*(time.time()-t0):.1f} ms")
+        return 0
+
+    # Stages 3/4: mapping.
+    params = G.empty_params(cap, sh_degree=0, lang_dim=15)
+    aux = G.empty_aux(cap)
+    opt = G.init_adam(params)
+    params, aux, opt, _ = G.extend_points(
+        params, aux, opt, xyz=means, rgb=jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32),
+        valid=jnp.ones((n,), bool), kf_id=0,
+    )
+    s = 12
+    z3 = jnp.zeros((s, 3), jnp.float32)
+    zs = jnp.zeros((s,), jnp.float32)
+    images = jnp.asarray(rng.uniform(size=(s, 3, h, w)), jnp.float32)
+    depths = jnp.full((s, 1, h, w), 3.0, jnp.float32)
+    langs = jnp.asarray(rng.normal(size=(s, 15, 192, 192)) * 0.1, jnp.float32)
+    lrs = G.LearningRates(*[jnp.float32(1e-3)] * 7)
+
+    if args.stage == 3:
+        from online_lang_splatting_tpu.slam.backend import mapping_iteration
+
+        t0 = time.time()
+        out = mapping_iteration(
+            params, opt, aux, proj,
+            jnp.broadcast_to(jnp.eye(3), (s, 3, 3)), z3[:, :3] * 0,
+            zs, zs,
+            (z3, z3, zs, zs), (z3, z3, zs, zs), zs,
+            images, depths, langs,
+            jnp.ones((s,), bool), jnp.ones((s,), bool),
+            jnp.asarray([False] + [True] * (s - 1)), jnp.ones((s,), bool),
+            lrs, jnp.float32(1.0),
+            settings=settings, n_slots=s, init_mode=False,
+        )
+        jax.block_until_ready(out[0].xyz)
+        print(f"stage 3 compile+run {time.time()-t0:.1f}s loss={float(out[9]):.3f}")
+        t0 = time.time()
+        out = mapping_iteration(
+            params, opt, aux, proj,
+            jnp.broadcast_to(jnp.eye(3), (s, 3, 3)), z3[:, :3] * 0,
+            zs, zs,
+            (z3, z3, zs, zs), (z3, z3, zs, zs), zs,
+            images, depths, langs,
+            jnp.ones((s,), bool), jnp.ones((s,), bool),
+            jnp.asarray([False] + [True] * (s - 1)), jnp.ones((s,), bool),
+            lrs, jnp.float32(1.0),
+            settings=settings, n_slots=s, init_mode=False,
+        )
+        jax.block_until_ready(out[0].xyz)
+        print(f"  warm run {time.time()-t0:.2f}s")
+        return 0
+
+    if args.stage == 4:
+        from online_lang_splatting_tpu.slam.backend import make_mapping_chunk
+
+        n_iters = 4
+        n_win = s - 2
+        lr_cfg = (0.00016, 0.0000016, 0.01, 30000)
+        fn = make_mapping_chunk(settings, s, n_iters, False, lr_cfg, None)
+        k = 16  # stack rows
+        stack_imgs = jnp.asarray(rng.uniform(size=(k, 3, h, w)), jnp.float32)
+        stack_deps = jnp.full((k, 1, h, w), 3.0, jnp.float32)
+        stack_langs = jnp.asarray(
+            rng.normal(size=(k, 15, 192, 192)) * 0.1, jnp.float32)
+        t0 = time.time()
+        out = fn(
+            params, opt, aux, proj,
+            jnp.broadcast_to(jnp.eye(3), (n_win, 3, 3)),
+            jnp.zeros((n_win, 3), jnp.float32),
+            jnp.zeros((n_win,), jnp.float32), jnp.zeros((n_win,), jnp.float32),
+            stack_imgs[:n_win], stack_deps[:n_win], stack_langs[:n_win],
+            jnp.ones((n_win,), bool), jnp.ones((n_win,), bool),
+            jnp.asarray([False] + [True] * (s - 1)), jnp.ones((s,), bool),
+            (z3, z3, zs, zs), (z3, z3, zs, zs), zs,
+            stack_imgs, stack_deps, stack_langs, jnp.ones((k,), bool),
+            jnp.asarray(rng.integers(0, k, (n_iters, 2)), jnp.int32),
+            jnp.ones((n_iters, 2), bool),
+            jnp.broadcast_to(jnp.eye(3), (n_iters, 2, 3, 3)),
+            jnp.zeros((n_iters, 2, 3), jnp.float32),
+            jnp.zeros((n_iters, 2), jnp.float32),
+            jnp.zeros((n_iters, 2), jnp.float32),
+            jnp.float32(0.0), lrs, jnp.float32(1.0),
+        )
+        jax.block_until_ready(out[0].xyz)
+        print(f"stage 4 compile+run {time.time()-t0:.1f}s "
+              f"losses={np.asarray(out[9])[:4]}")
+        t0 = time.time()
+        jax.block_until_ready(fn(
+            params, opt, aux, proj,
+            jnp.broadcast_to(jnp.eye(3), (n_win, 3, 3)),
+            jnp.zeros((n_win, 3), jnp.float32),
+            jnp.zeros((n_win,), jnp.float32), jnp.zeros((n_win,), jnp.float32),
+            stack_imgs[:n_win], stack_deps[:n_win], stack_langs[:n_win],
+            jnp.ones((n_win,), bool), jnp.ones((n_win,), bool),
+            jnp.asarray([False] + [True] * (s - 1)), jnp.ones((s,), bool),
+            (z3, z3, zs, zs), (z3, z3, zs, zs), zs,
+            stack_imgs, stack_deps, stack_langs, jnp.ones((k,), bool),
+            jnp.asarray(rng.integers(0, k, (n_iters, 2)), jnp.int32),
+            jnp.ones((n_iters, 2), bool),
+            jnp.broadcast_to(jnp.eye(3), (n_iters, 2, 3, 3)),
+            jnp.zeros((n_iters, 2, 3), jnp.float32),
+            jnp.zeros((n_iters, 2), jnp.float32),
+            jnp.zeros((n_iters, 2), jnp.float32),
+            jnp.float32(0.0), lrs, jnp.float32(1.0),
+        )[0].xyz)
+        print(f"  warm run {time.time()-t0:.2f}s "
+              f"({1e3*(time.time()-t0)/n_iters:.0f} ms/iter)")
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
