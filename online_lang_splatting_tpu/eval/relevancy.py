@@ -90,11 +90,23 @@ class CLIPRelevancy:
             out.append(jnp.stack(per_prompt))
         return jnp.stack(out)
 
-    def get_semantic_map(self, sem_map: jax.Array) -> jax.Array:
-        """(levels, H, W, D) → (levels, H, W) int labels; -1 = background."""
+    def get_semantic_map(self, sem_map: jax.Array,
+                         with_negatives: bool = False) -> jax.Array:
+        """(levels, H, W, D) → (levels, H, W) int labels; -1 = background.
+
+        with_negatives=False matches the dim15 3D eval's argmax over the
+        class embeddings only (3d_evaluation_..._langslam_dim15.py:107);
+        True appends the LERF negatives so off-vocabulary points land in
+        background (the LangSplat 3D eval's protocol,
+        3d_evaluation_and_visualize_langsplat.py:100)."""
         n_levels, h, w, d = sem_map.shape
         pos_num = self.semantic_embeds.shape[0]
-        phrases = jnp.concatenate([self.semantic_embeds, self.neg_embeds], 0)
+        if with_negatives:
+            phrases = jnp.concatenate(
+                [self.semantic_embeds, self.neg_embeds], 0
+            )
+        else:
+            phrases = self.semantic_embeds
         logits = sem_map.reshape(n_levels, -1, d) @ phrases.T
         pred = jnp.argmax(jax.nn.softmax(10 * logits, axis=-1), axis=-1)
         pred = jnp.where(pred >= pos_num, -1, pred)

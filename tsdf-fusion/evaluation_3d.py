@@ -34,6 +34,9 @@ def main():
     p.add_argument("--online-ae", default=None)
     p.add_argument("--max-points", type=int, default=4096,
                    help="per-class subsample for EMD")
+    p.add_argument("--with-negatives", action="store_true",
+                   help="append LERF negatives to the semantic argmax "
+                        "(the LangSplat 3D-eval protocol)")
     p.add_argument("--out", default=None)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
@@ -79,7 +82,10 @@ def main():
     rel = CLIPRelevancy(text_params, SimpleTokenizer())
     rel.set_semantics(classes)
     labels = np.asarray(
-        rel.get_semantic_map(clip_feats[None, None, :, :])
+        rel.get_semantic_map(
+            clip_feats[None, None, :, :],
+            with_negatives=args.with_negatives,
+        )
     ).reshape(-1)
 
     gt = read_ply(args.gt)
