@@ -9,7 +9,7 @@ shardable per-slot core (`scan_slot_grads`) plus a replicated update tail
 (`apply_mapping_updates`); gradients are computed inside each scan step so
 only one render's residuals are ever live.
 
-Production dispatch is CHUNKED (`make_mapping_chunk`): up to 64 mapping
+Production dispatch is CHUNKED (`make_mapping_chunk`): up to 16 mapping
 iterations run device-resident per dispatch — window poses, both Adam
 states and densification stats carried in a lax.scan, random
 anti-forgetting frames gathered on-device from a `FrameStack` — with
@@ -356,7 +356,12 @@ class FrameStack:
     through the host link after insertion (the reference keeps all
     viewpoints on-GPU the same way, slam_backend.py:187)."""
 
-    CHUNK_SIZES = (64, 16, 4, 1)  # pow-4 ladder bounds recompiles to 4/mode
+    # Pow-4 ladder bounds recompiles to 3/mode. Capped at 16: a single
+    # dispatch of 16 full-scale iterations runs ~27 s on hardware; the TPU
+    # worker kills dispatches in the minute range (chunk-64 ≈ 109 s
+    # reproducibly crashed it), and 16 already removes ~94% of per-KF
+    # host round trips.
+    CHUNK_SIZES = (16, 4, 1)
 
     def __init__(self, h: int, w: int, lang_dim: int, cap: int = 16,
                  lang_hw=(192, 192)):

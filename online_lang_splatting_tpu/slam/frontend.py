@@ -104,7 +104,7 @@ def tracking_run(
     # Final render at the converged pose: median depth + visibility.
     out = render(track_inputs, view, proj, settings)
     med = L.median_depth(out.depth, out.opacity)
-    return view, ea, eb, n_iters, loss, med, out.n_touched > 0
+    return view, ea, eb, n_iters, loss, med, out.n_touched > 0, out.overflow
 
 
 class FrontEnd:
@@ -140,18 +140,29 @@ class FrontEnd:
         if self.use_gt_pose:
             cam.update_rt(cam.r_gt, cam.t_gt)
 
-        view = jnp.asarray(cam.world_view_transform)
+        view0 = jnp.asarray(cam.world_view_transform)
         gt_depth = jnp.asarray(cam.depth)[None]
         lrs = (jnp.float32(self.lr_trans), jnp.float32(self.lr_rot),
                jnp.float32(0.01))
         max_iters = 1 if self.use_gt_pose else self.tracking_itr_num
-        (view, ea, eb, n_iters, loss, med, visibility) = tracking_run(
-            self.render_inputs, view, proj, cam.image, gt_depth,
-            cam.grad_mask, jnp.asarray(cam.exposure_a, jnp.float32),
-            jnp.asarray(cam.exposure_b, jnp.float32), lrs,
-            settings=self.settings, max_iters=max_iters,
-            rgb_threshold=self.rgb_boundary_threshold,
-        )
+        # On raster instance-pool overflow: grow the bucket and REDO the
+        # whole frame (truncated renders would corrupt the pose estimate).
+        for _attempt in range(4):
+            (view, ea, eb, n_iters, loss, med, visibility,
+             overflow) = tracking_run(
+                self.render_inputs, view0, proj, cam.image, gt_depth,
+                cam.grad_mask, jnp.asarray(cam.exposure_a, jnp.float32),
+                jnp.asarray(cam.exposure_b, jnp.float32), lrs,
+                settings=self.settings, max_iters=max_iters,
+                rgb_threshold=self.rgb_boundary_threshold,
+            )
+            if not bool(overflow):
+                break
+            self.settings = self.settings._replace(
+                max_instances=self.settings.max_instances * 2
+            )
+            print(f"[frontend] raster instance pool grown to "
+                  f"{self.settings.max_instances}; redoing frame")
         if not self.use_gt_pose:
             v = np.asarray(view)
             cam.update_rt(v[:3, :3], v[:3, 3])

@@ -75,12 +75,19 @@ class SLAM:
         lang_dim = config.get("language", {}).get("lang_code_size", 15)
         cap0 = config.get("capacity", 1 << 17)
         avg_dup = config.get("max_instance_factor", 8)
+        # Start with a SNUG instance bucket: binning + kernel-grid cost
+        # scales with the bucket, and both tracking and mapping grow it
+        # (x2 + replay) on overflow, so early-run frames with few
+        # instances don't pay worst-case capacity.
+        max_inst = config.get(
+            "max_instances_init", min(avg_dup * cap0, 1 << 18)
+        )
         self.settings = RasterSettings(
             image_height=height, image_width=width,
             tanfovx=tanfovx, tanfovy=tanfovy,
             sh_degree=config["model_params"]["sh_degree"],
             backend=config.get("raster_backend", "tpu"),
-            max_instances=avg_dup * cap0,
+            max_instances=max_inst,
         )
         self.proj = camera_projection(
             Camera(
@@ -158,8 +165,18 @@ class SLAM:
         self.frontend.render_inputs = activate(
             self.backend.params, self.backend.aux.active
         )
-        # Follow backend instance-pool growth so tracking never truncates.
-        self.frontend.settings = self.backend.settings
+        # Sync instance-pool growth both ways (each side also grows its own
+        # bucket on overflow) so neither ever truncates.
+        cap = max(
+            self.backend.settings.max_instances,
+            self.frontend.settings.max_instances,
+        )
+        self.frontend.settings = self.backend.settings._replace(
+            max_instances=cap
+        )
+        self.backend.settings = self.backend.settings._replace(
+            max_instances=cap
+        )
         self.frontend.occ_aware_visibility = dict(
             self.backend.occ_aware_visibility
         )
@@ -297,7 +314,9 @@ class SLAM:
             poses = {
                 i: (c.r.copy(), c.t.copy()) for i, c in be.viewpoints.items()
             }
-            self.frontend_queue.put(["sync_backend", snap_inputs, occ, poses])
+            self.frontend_queue.put(
+                ["sync_backend", snap_inputs, occ, poses, be.settings]
+            )
 
         def backend_loop():
             try:
@@ -350,9 +369,16 @@ class SLAM:
                 except queue.Empty:
                     return
                 if msg[0] == "sync_backend":
-                    _, snap_inputs, occ, poses = msg
+                    _, snap_inputs, occ, poses, be_settings = msg
                     fe.render_inputs = snap_inputs
                     fe.occ_aware_visibility = occ
+                    # Follow backend instance-pool growth (and keep our own).
+                    fe.settings = be_settings._replace(
+                        max_instances=max(
+                            be_settings.max_instances,
+                            fe.settings.max_instances,
+                        )
+                    )
                     for i, (r, t) in poses.items():
                         if i in fe.cameras:
                             fe.cameras[i].update_rt(r, t)

@@ -133,10 +133,10 @@ def main():
         print(f"  warm run {time.time()-t0:.2f}s")
         return 0
 
-    if args.stage == 4:
+    if args.stage in (4, 5, 6):
         from online_lang_splatting_tpu.slam.backend import make_mapping_chunk
 
-        n_iters = 4
+        n_iters = {4: 4, 5: 16, 6: 64}[args.stage]
         n_win = s - 2
         lr_cfg = (0.00016, 0.0000016, 0.01, 30000)
         fn = make_mapping_chunk(settings, s, n_iters, False, lr_cfg, None)
@@ -165,7 +165,7 @@ def main():
             jnp.float32(0.0), lrs, jnp.float32(1.0),
         )
         jax.block_until_ready(out[0].xyz)
-        print(f"stage 4 compile+run {time.time()-t0:.1f}s "
+        print(f"stage {args.stage} (chunk {n_iters}) compile+run {time.time()-t0:.1f}s "
               f"losses={np.asarray(out[9])[:4]}")
         t0 = time.time()
         jax.block_until_ready(fn(
