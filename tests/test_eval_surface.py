@@ -120,6 +120,43 @@ def test_multilevel_eval(tmp_path):
     assert metrics["localization_acc"] == 1.0
 
 
+def test_pca_baseline_clis(tmp_path):
+    """train_pca / test_pca round trip: a rank-limited feature set must be
+    reconstructed near-exactly by a PCA with enough components."""
+    import subprocess
+    import sys as _sys
+
+    rng = np.random.default_rng(4)
+    feats = tmp_path / "feats"
+    feats.mkdir()
+    basis = rng.normal(size=(6, 32)).astype(np.float32)
+    for i in range(4):
+        coef = rng.normal(size=(6, 8 * 8)).astype(np.float32)
+        fm = (basis.T @ coef).reshape(32, 8, 8)
+        np.save(feats / f"{i}_f.npy", fm)
+    subprocess.run(
+        [_sys.executable, "language/autoencoder/pca/train_pca.py",
+         "--feat-dirs", str(feats), "--every", "1", "--components", "6",
+         "--out", str(tmp_path / "pca.npz"), "--cpu"],
+        check=True, cwd=str(REPO),
+    )
+    model = np.load(tmp_path / "pca.npz")
+    assert model["components"].shape == (6, 32)
+    # Round trip through the saved model: rank-6 data, 6 components →
+    # reconstruction should be near-exact.
+    fm = np.load(feats / "0_f.npy").reshape(32, -1).T
+    z = (fm - model["mean"]) @ model["components"].T
+    rec = z @ model["components"] + model["mean"]
+    assert np.abs(rec - fm).max() < 1e-3
+    out = subprocess.run(
+        [_sys.executable, "language/autoencoder/pca/test_pca.py",
+         "--model", str(tmp_path / "pca.npz"), "--features", str(feats),
+         "--every", "1", "--out", str(tmp_path / "eval"), "--cpu"],
+        check=True, cwd=str(REPO), capture_output=True, text=True,
+    )
+    assert "mean cos" in out.stdout
+
+
 def test_colormaps():
     from colormaps import (
         ColormapOptions, apply_colormap, apply_pca_colormap,
