@@ -21,6 +21,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from pathlib import Path
 from typing import Optional
 
 import jax.numpy as jnp
@@ -184,21 +185,32 @@ class SLAM:
             if idx in self.frontend.cameras:
                 self.frontend.cameras[idx].update_rt(cam.r, cam.t)
 
-    def run(self, max_frames: Optional[int] = None):
+    def run(self, max_frames: Optional[int] = None, start_frame: int = 0,
+            checkpoint_every: Optional[int] = None):
         if self.single_thread:
-            return self.run_single_thread(max_frames)
+            return self.run_single_thread(
+                max_frames, start_frame=start_frame,
+                checkpoint_every=checkpoint_every,
+            )
         return self.run_threaded(max_frames)
 
-    def run_single_thread(self, max_frames: Optional[int] = None):
+    def run_single_thread(self, max_frames: Optional[int] = None,
+                          start_frame: int = 0,
+                          checkpoint_every: Optional[int] = None):
         t_start = time.time()
         n = len(self.dataset)
         if max_frames is not None:
             n = min(n, max_frames)
         fe, be = self.frontend, self.backend
         iter_per_kf = be.mapping_itr_num
-        cur_window: list[int] = []
-        last_kf = 0
-        frames_since_kf = 0
+        if start_frame > 0:  # resumed from a checkpoint (slam/checkpoint.py)
+            cur_window = list(be.current_window)
+            last_kf = max(fe.kf_indices) if fe.kf_indices else 0
+            frames_since_kf = max(start_frame - 1 - last_kf, 0)
+        else:
+            cur_window = []
+            last_kf = 0
+            frames_since_kf = 0
         # Wall-clock phase accounting (reference logs Total FPS,
         # slam.py:165-171; we additionally break it down).
         self.phase_times = {"data": 0.0, "track": 0.0, "map": 0.0,
@@ -209,7 +221,7 @@ class SLAM:
             self.phase_times[phase] += now - t0
             return now
 
-        for idx in range(n):
+        for idx in range(start_frame, n):
             self._check_gui_pause()
             t0 = time.time()
             cam = Camera.from_dataset(self.dataset, idx)
@@ -283,8 +295,17 @@ class SLAM:
             _tick("map", t0)
             last_kf = idx
             frames_since_kf = 0
+            if checkpoint_every and idx % checkpoint_every == 0:
+                from . import checkpoint
 
-        self.fps = n / (time.time() - t_start)
+                path = (self.save_dir or Path("results")) / (
+                    f"ckpt_{idx:06d}.npz"
+                )
+                Path(path).parent.mkdir(parents=True, exist_ok=True)
+                checkpoint.save_state(self, path, idx + 1)
+                print(f"[checkpoint] saved {path}")
+
+        self.fps = (n - start_frame) / (time.time() - t_start)
         return self
 
     def run_threaded(self, max_frames: Optional[int] = None):

@@ -30,6 +30,10 @@ def main(argv=None):
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--weights-dir", type=str, default=None,
                         help="directory of converted .npz model weights")
+    parser.add_argument("--checkpoint-every", type=int, default=None,
+                        help="save a resumable SLAM snapshot every N frames")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="resume from a ckpt_*.npz snapshot")
     args = parser.parse_args(argv)
 
     if os.environ.get("OLS_PLATFORM"):
@@ -72,7 +76,14 @@ def main(argv=None):
     t0 = time.time()
     slam = SLAM(config, lang_extractor=lang_extractor, online_ae=online_ae,
                 save_dir=save_dir)
-    slam.run(max_frames=args.max_frames)
+    start_frame = 0
+    if args.resume:
+        from online_lang_splatting_tpu.slam import checkpoint
+
+        start_frame = checkpoint.load_state(slam, args.resume)
+        print(f"Resumed from {args.resume} at frame {start_frame}")
+    slam.run(max_frames=args.max_frames, start_frame=start_frame,
+             checkpoint_every=args.checkpoint_every)
     print(f"Total FPS: {slam.fps:.2f}")
     if getattr(slam, "phase_times", None):
         total = sum(slam.phase_times.values())
