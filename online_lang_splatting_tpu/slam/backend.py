@@ -66,26 +66,43 @@ def scan_slot_grads(
     cap = params.xyz.shape[0]
 
     def kf_loss(p, rho, theta, ea, eb, m2d, r, t, image, depth, lang, l_on, valid):
-        inputs = activate(p, active)
-        view = lie.rt_to_mat4(r, t)
-        out = render(
-            inputs, view, proj, settings,
-            cam_trans_delta=rho, cam_rot_delta=theta, means2d_offset=m2d,
+        def live(args):
+            (p, rho, theta, ea, eb, m2d) = args
+            inputs = activate(p, active)
+            view = lie.rt_to_mat4(r, t)
+            out = render(
+                inputs, view, proj, settings,
+                cam_trans_delta=rho, cam_rot_delta=theta, means2d_offset=m2d,
+            )
+            loss = L.loss_mapping_rgbd(
+                out.color, out.depth, image, depth, ea, eb,
+                initialization=init_mode,
+            )
+            # Language supervision (slam_backend.py:579-597): L1 against
+            # the cached low-dim map, resized to the frame.
+            lang_hw = resize_bilinear(
+                jnp.transpose(lang, (1, 2, 0))[None],
+                (image.shape[1], image.shape[2]),
+            )[0]
+            l_lang = jnp.abs(
+                out.language - jnp.transpose(lang_hw, (2, 0, 1))
+            ).mean()
+            loss = loss + lang_weight * jnp.where(l_on, l_lang, 0.0)
+            return loss * valid, (out.radii, out.n_touched, out.overflow)
+
+        def dead(args):
+            # Invalid/padding slot: skip the whole render (during map init
+            # the window has ONE keyframe and 11 of 12 slots are padding —
+            # real control flow here is a ~12x init speedup; lax.cond
+            # differentiates to zero grads for this branch).
+            return jnp.float32(0.0), (
+                jnp.zeros((cap,), jnp.int32), jnp.zeros((cap,), jnp.int32),
+                jnp.zeros((), bool),
+            )
+
+        return jax.lax.cond(
+            valid > 0, live, dead, (p, rho, theta, ea, eb, m2d)
         )
-        loss = L.loss_mapping_rgbd(
-            out.color, out.depth, image, depth, ea, eb,
-            initialization=init_mode,
-        )
-        # Language supervision (slam_backend.py:579-597): L1 against the
-        # cached low-dim map, resized to the frame.
-        lang_hw = resize_bilinear(
-            jnp.transpose(lang, (1, 2, 0))[None],
-            (image.shape[1], image.shape[2]),
-        )[0]
-        l_lang = jnp.abs(out.language - jnp.transpose(lang_hw, (2, 0, 1))).mean()
-        loss = loss + lang_weight * jnp.where(l_on, l_lang, 0.0)
-        loss = loss * valid
-        return loss, (out.radii, out.n_touched, out.overflow)
 
     zero_m2d = jnp.zeros((cap, 2), jnp.float32)
     zeros3 = jnp.zeros(3, jnp.float32)
