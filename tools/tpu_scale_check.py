@@ -7,6 +7,9 @@ worker crash is attributable):
   2  forward+backward (value_and_grad through the custom VJP)
   3  one full mapping_iteration (12 slots)
   4  mapping chunk n=4
+  5  mapping chunk n=16
+  6  mapping chunk n=64 (known to crash the worker: ~109 s dispatch)
+  7  component timing: preprocess / binning / pack+blend fwd / blend bwd
 """
 
 import argparse
@@ -59,6 +62,63 @@ def main():
     opac = jnp.asarray(rng.uniform(0.2, 0.9, n), jnp.float32)
     shs = jnp.asarray(rng.normal(size=(n, 1, 3)) * 0.3, jnp.float32)
     lang = jnp.asarray(rng.normal(size=(n, 15)) * 0.1, jnp.float32)
+
+    if args.stage == 7:
+        import functools
+
+        from online_lang_splatting_tpu.ops.raster import binning as BN
+        from online_lang_splatting_tpu.ops.raster import preprocess as PP
+        from online_lang_splatting_tpu.ops.raster.tiled import blend_tiled
+
+        tile = settings.tile
+        campos = jnp.zeros(3)
+
+        def _prep(means, scales, quats, opac, view, pj, campos, shs):
+            return PP.preprocess(
+                means, scales, quats, opac, view, pj, campos, shs=shs,
+                sh_degree=0, width=w, height=h,
+                tan_fovx=settings.tanfovx, tan_fovy=settings.tanfovy,
+                tile=tile,
+            )
+
+        prep_fn = jax.jit(_prep)
+        tiles_x = (w + tile - 1) // tile
+        tiles_y = (h + tile - 1) // tile
+        bin_fn = jax.jit(functools.partial(
+            BN.bin_gaussians, tiles_x=tiles_x, tiles_y=tiles_y,
+            max_instances=settings.max_instances, chunk=256,
+        ))
+        fwd_fn = jax.jit(lambda prep, lang: blend_tiled(
+            prep, lang, jnp.zeros(3),
+            width=w, height=h, tile=tile,
+            max_instances=settings.max_instances,
+        ).color.sum())
+        bwd_fn = jax.jit(jax.grad(
+            lambda means, opac, scales, lang: blend_tiled(
+                prep_fn(means, scales, quats, opac, view, proj @ view,
+                        campos, shs=shs),
+                lang, jnp.zeros(3), width=w, height=h, tile=tile,
+                max_instances=settings.max_instances,
+            ).color.sum(),
+            argnums=(0, 3),
+        ))
+
+        def timeit(name, f, *a):
+            jax.block_until_ready(f(*a))
+            t0 = time.time()
+            for _ in range(5):
+                r = f(*a)
+            jax.block_until_ready(r)
+            print(f"  {name}: {1e3 * (time.time() - t0) / 5:.1f} ms")
+            return r
+
+        prep = timeit("preprocess", prep_fn, means, scales, quats, opac,
+                      view, proj @ view, campos, shs)
+        binning = timeit("binning", bin_fn, prep)
+        print(f"  num_instances: {int(binning.num_instances)}")
+        timeit("pack+blend fwd (+assembly)", fwd_fn, prep, lang)
+        timeit("full fwd+bwd", bwd_fn, means, opac, scales, lang)
+        return 0
 
     if args.stage in (1, 2):
         def fwd(means, opac, scales, lang):
