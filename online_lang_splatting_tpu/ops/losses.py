@@ -32,11 +32,20 @@ def psnr(img1: jax.Array, img2: jax.Array) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=8)
-def _gaussian_window(window_size: int, sigma: float):
-    x = jnp.arange(window_size, dtype=jnp.float32)
-    g = jnp.exp(-jnp.square(x - window_size // 2) / (2.0 * sigma**2))
+def _gaussian_window_np(window_size: int, sigma: float):
+    # Cached as NUMPY: caching a jnp array here would capture a tracer
+    # when first called inside a jit trace and leak it into later traces
+    # (UnexpectedTracerError on the second jitted SSIM program).
+    import numpy as np
+
+    x = np.arange(window_size, dtype=np.float32)
+    g = np.exp(-np.square(x - window_size // 2) / (2.0 * sigma**2))
     g = g / g.sum()
-    return jnp.outer(g, g)
+    return np.outer(g, g)
+
+
+def _gaussian_window(window_size: int, sigma: float):
+    return jnp.asarray(_gaussian_window_np(window_size, sigma))
 
 
 def _depthwise_conv_same_zero(img: jax.Array, window: jax.Array) -> jax.Array:
