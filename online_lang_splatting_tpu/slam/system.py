@@ -24,7 +24,6 @@ import time
 from pathlib import Path
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..ops.raster import RasterSettings
