@@ -57,7 +57,9 @@ def main():
             rng.uniform(-3, 3, n), rng.uniform(-2, 2, n),
             rng.uniform(2.0, 8.0, n),
         ], 1), jnp.float32)
-    scales = jnp.asarray(rng.uniform(0.01, 0.05, (n, 3)), jnp.float32)
+    # ~0.015 mean scale keeps the probe scene inside the 1M instance
+    # bucket (~650k instances, the Replica steady state).
+    scales = jnp.asarray(rng.uniform(0.005, 0.025, (n, 3)), jnp.float32)
     quats = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
     opac = jnp.asarray(rng.uniform(0.2, 0.9, n), jnp.float32)
     shs = jnp.asarray(rng.normal(size=(n, 1, 3)) * 0.3, jnp.float32)
@@ -103,12 +105,20 @@ def main():
             argnums=(0, 3),
         ))
 
+        fetch = jax.jit(
+            lambda r: sum(jnp.sum(jnp.asarray(x).astype(jnp.float32))
+                          for x in jax.tree.leaves(r))
+        )
+
         def timeit(name, f, *a):
-            jax.block_until_ready(f(*a))
+            # Force completion with a HOST FETCH of a scalar depending on
+            # every output — block_until_ready alone reports fictitious
+            # timings through the remote tunnel (CLAUDE.md).
+            _ = float(fetch(f(*a)))
             t0 = time.time()
             for _ in range(5):
                 r = f(*a)
-            jax.block_until_ready(r)
+            _ = float(fetch(r))
             print(f"  {name}: {1e3 * (time.time() - t0) / 5:.1f} ms")
             return r
 
