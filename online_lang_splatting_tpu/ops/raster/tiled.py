@@ -414,16 +414,9 @@ def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, point_list,
     empty = jnp.zeros((f_pad, pix), acc.dtype).at[f_out].set(1.0)
     acc = jnp.where(tile_live[:, None, None], acc, empty[None])
     out = (acc, n_touched)
-    # geom/feat ride as residuals: repacking them in the backward would
-    # redo the 1M-row gather (~19 ms/render) for a ~240 MB recompute save
-    # that only lives for one render.
-    # Zero-size arrays carry the static shapes (P, F_lang) the backward
-    # needs — Python ints in residuals would become traced constants.
     residuals = (
-        geom, feat, acc, point_list,
-        chunk_tile, chunk_first, chunk_last,
-        jnp.zeros((xy.shape[0], 0), jnp.float32),
-        jnp.zeros((lang.shape[1], 0), jnp.float32),
+        xy, conic, opacity, color, lang, depth, acc,
+        point_list, chunk_tile, chunk_first, chunk_last, tile_counts,
     )
     return out, residuals
 
@@ -437,18 +430,19 @@ def _blend_fwd(xy, conic, opacity, color, lang, depth, point_list, chunk_tile,
 
 
 def _blend_bwd(tile, width, height, residuals, cotangents):
-    (geom, feat, acc_res, point_list,
-     chunk_tile, chunk_first, chunk_last, shape_p, shape_l) = residuals
-    p = shape_p.shape[0]
-    f_lang = shape_l.shape[0]
+    (xy, conic, opacity, color, lang, depth, acc_res,
+     point_list, chunk_tile, chunk_first, chunk_last, tile_counts) = residuals
     g_acc, _ = cotangents  # n_touched is int — no cotangent
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
     num_tiles = tiles_x * tiles_y
     pix = _pix_pad(tile)
     num_chunks = chunk_tile.shape[0]
-    f_pad = feat.shape[0]
-    f_out = 3 + f_lang + 1
+
+    geom, feat, f_pad, f_out = _pack_instances(
+        xy, conic, opacity, color, lang, depth, point_list
+    )
+    f_lang = lang.shape[1]
 
     kern = functools.partial(
         _bwd_kernel, tiles_x=tiles_x, num_tiles=num_tiles, tile=tile, pix=pix,
@@ -486,9 +480,10 @@ def _blend_bwd(tile, width, height, residuals, cotangents):
     # Segment-sum per-instance grads back to per-Gaussian grads as ONE
     # wide-row scatter-add (six narrow scatters each pay full random-access
     # cost; a single (S, D) row scatter moves the same bytes far faster).
+    p = xy.shape[0]
     ids = jnp.where(point_list >= 0, point_list, p)
     rows = jnp.concatenate([dgeom[0:6], dfeat[: 3 + f_lang + 1]], axis=0).T
-    table = jnp.zeros((p, rows.shape[1]), jnp.float32).at[ids].add(
+    table = jnp.zeros((p, rows.shape[1]), xy.dtype).at[ids].add(
         rows, mode="drop"
     )
     d_xy = table[:, 0:2]
