@@ -105,7 +105,12 @@ def main(argv=None):
                 save_dir / "gaussians_final.ply",
                 slam.backend.params, slam.backend.aux,
             )
-        slam.finalize(color_refinement_iters=26000)
+        # 26 000 iterations like the reference (slam_backend.py:769);
+        # overridable for smoke runs / quick evals.
+        refine_iters = config.get("Results", {}).get(
+            "color_refinement_iters", 26000
+        )
+        slam.finalize(color_refinement_iters=refine_iters)
         metrics_after = evaluation.evaluate_run(slam, save_dir, tag="after_opt")
         print(metrics_after)
         if save_dir is not None:
