@@ -275,6 +275,11 @@ class SLAM:
                     and point_ratio < self.config["Training"]["kf_overlap"]
                 )
             if not create_kf:
+                # Free the frame's device arrays (reference cleanup,
+                # slam_frontend.py:676): poses stay for trajectory eval;
+                # eval_rendering reloads pixels from the dataset. Without
+                # this a Replica-length run pins ~26 GB of frames.
+                cam.clean()
                 continue
 
             # Keyframe: window update + backend mapping.
@@ -443,6 +448,7 @@ class SLAM:
             frames_since_kf += 1
             if state["requested_kf"] > 0:
                 self.tracked_while_kf_in_flight += 1
+                cam.clean()  # tracked-only frame (reference cleanup)
                 continue
             create_kf = frames_since_kf >= self.kf_interval and (
                 last_kf in fe.occ_aware_visibility
@@ -456,6 +462,8 @@ class SLAM:
                     frames_since_kf >= self.kf_interval
                     and inter / max(union, 1) < self.config["Training"]["kf_overlap"]
                 )
+            if not create_kf:
+                cam.clean()  # reference cleanup (slam_frontend.py:676)
             if create_kf:
                 cur_window, _ = fe.add_to_window(idx, visibility, cur_window)
                 fe.kf_indices.append(idx)
