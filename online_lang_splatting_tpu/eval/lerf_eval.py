@@ -89,9 +89,14 @@ def lerf_localization(sem_map: np.ndarray, relevancy: CLIPRelevancy,
         head = int(np.argmax(score_lvl))
         m = avg[..., head]
         coords = np.argwhere(m == m.max())[:, ::-1]  # (x, y)
+        # Bboxes are in the annotation's native pixel coordinates; the
+        # relevancy map is at the (possibly different) eval resolution —
+        # rescale boxes into map coordinates before the containment test.
+        ann_h, ann_w = np.asarray(img_ann[positives[k]]["mask"]).shape[:2]
+        sx, sy = w / max(ann_w, 1), h / max(ann_h, 1)
         hit = False
         for box in np.asarray(img_ann[positives[k]]["bboxes"]).reshape(-1, 4):
-            x1, y1, x2, y2 = box
+            x1, y1, x2, y2 = box[0] * sx, box[1] * sy, box[2] * sx, box[3] * sy
             x_min, x_max = min(x1, x2), max(x1, x2)
             y_min, y_max = min(y1, y2), max(y1, y2)
             for cx, cy in coords:

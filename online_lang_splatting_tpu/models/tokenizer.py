@@ -2,10 +2,10 @@
 
 Functionally equivalent to open_clip's SimpleTokenizer (the reference
 vendors it at language/sed/open_clip/src/open_clip/tokenizer.py). The BPE
-merge table is a data asset (`bpe_simple_vocab_16e6.txt.gz`) shipped with
-every open_clip / CLIP distribution — it is NOT vendored here; point
-`vocab_path` at any copy (env `OLS_TPU_BPE_PATH`, an installed open_clip,
-or the reference checkout).
+merge table (`bpe_simple_vocab_16e6.txt.gz`) is the public data asset
+shipped with every open_clip / CLIP distribution; a copy is vendored
+under `online_lang_splatting_tpu/assets/` so the build is self-contained.
+`OLS_TPU_BPE_PATH` or `vocab_path` override it.
 """
 
 from __future__ import annotations
@@ -22,7 +22,10 @@ CONTEXT_LENGTH = 77
 
 _DEFAULT_PATHS = (
     os.environ.get("OLS_TPU_BPE_PATH", ""),
-    "/root/reference/language/sed/open_clip/src/open_clip/bpe_simple_vocab_16e6.txt.gz",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "bpe_simple_vocab_16e6.txt.gz",
+    ),
 )
 
 

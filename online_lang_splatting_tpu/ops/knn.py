@@ -52,12 +52,15 @@ def knn_mean_sq_dist(
         col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
         row = i * block + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
         d2 = jnp.where(v[None, :] & (col != row), d2, big)
-        # k smallest via iterated min-extraction (k is tiny).
+        # k smallest via iterated min-extraction (k is tiny). Mask only the
+        # argmin per row — masking every column at the tied minimum would
+        # skip true neighbors in exact-tie point sets (grid-aligned clouds).
         acc = jnp.zeros((block,), pts.dtype)
         for _ in range(k):
-            m = jnp.min(d2, axis=1)
+            am = jnp.argmin(d2, axis=1)
+            m = jnp.take_along_axis(d2, am[:, None], axis=1)[:, 0]
             acc = acc + jnp.where(jnp.isfinite(m), m, 0.0)
-            d2 = jnp.where(d2 <= m[:, None], big, d2)
+            d2 = jnp.where(col == am[:, None], big, d2)
         return jax.lax.dynamic_update_slice_in_dim(out, acc / k, i * block, 0)
 
     out = jax.lax.fori_loop(0, np_ // block, body, jnp.zeros((np_,), pts.dtype))

@@ -802,6 +802,18 @@ class BackEnd:
             )
             print(f"[backend] raster instance pool grown to "
                   f"{self.settings.max_instances}; replaying chunk")
+        else:
+            if bool(out[10]):
+                import warnings
+
+                warnings.warn(
+                    "[backend] mapping chunk still overflows the raster "
+                    f"instance pool after 4 doublings "
+                    f"(max_instances={self.settings.max_instances}); "
+                    "committing truncated-gradient result — map quality "
+                    "may degrade.",
+                    RuntimeWarning,
+                )
         (self.params, self.opt, self.aux, new_r, new_t, new_ea, new_eb,
          self.keyframe_optimizer_state, occ_vis, losses, _ovf) = out
         self.iteration_count += n

@@ -152,8 +152,21 @@ def load_state(slam, path):
         elif key.startswith("traj/"):
             i = int(key[5:])
             if i not in fe.cameras:
-                cam = Camera.from_dataset(slam.dataset, i)
+                # Tracked non-keyframes only contribute their pose to the
+                # trajectory eval — build a pose-only Camera without
+                # decoding the frame (a full `from_dataset` per frame made
+                # resume O(dataset) and re-pinned every image the
+                # `cam.clean()` memory fix had freed).
                 rt = data[key]
+                gt = np.asarray(slam.dataset.poses[i], np.float32)
+                cam = Camera(
+                    uid=i, image=None, depth=None,
+                    r_gt=gt[:3, :3], t_gt=gt[:3, 3],
+                    fx=slam.dataset.fx, fy=slam.dataset.fy,
+                    cx=slam.dataset.cx, cy=slam.dataset.cy,
+                    fovx=slam.dataset.fovx, fovy=slam.dataset.fovy,
+                    height=slam.dataset.height, width=slam.dataset.width,
+                )
                 cam.update_rt(rt[:9].reshape(3, 3), rt[9:])
                 fe.cameras[i] = cam
     if slam.backend.online_ae is not None and any(

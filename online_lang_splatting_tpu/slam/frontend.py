@@ -66,10 +66,15 @@ def tracking_run(
     b1, b2, eps = 0.9, 0.999, 1e-8
 
     def body(state):
-        (view, ea, eb, m, v, t, _, loss_prev) = state
+        (view, ea, eb, m, v, t, _, loss_prev, ovf) = state
         (loss, out), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2, 3), has_aux=True
         )(zeros3, zeros3, ea, eb, view)
+        # Accumulate overflow from every intermediate render: a truncated
+        # render yields truncated pose gradients, so the caller must know
+        # even when the final render fits the pool (overflow-replay
+        # invariant; mirrors the mapping chunks' per-iteration OR).
+        ovf = ovf | out.overflow
         t = t + 1
         new_m, new_v, steps = [], [], []
         for g, mi, vi, lr in zip(grads, m, v, lr_list):
@@ -85,7 +90,7 @@ def tracking_run(
         view = lie.se3_exp(tau) @ view
         converged = jnp.linalg.norm(tau) < 1e-4
         return (view, ea + d_ea, eb + d_eb, tuple(new_m), tuple(new_v), t,
-                converged, loss)
+                converged, loss, ovf)
 
     def cond(state):
         t, converged = state[5], state[6]
@@ -97,14 +102,16 @@ def tracking_run(
         view, exposure_a, exposure_b,
         (z3, z3, zs, zs), (z3, z3, zs, zs),
         jnp.zeros((), jnp.float32), jnp.array(False), jnp.zeros(()),
+        jnp.array(False),
     )
-    (view, ea, eb, _, _, n_iters, _, loss) = jax.lax.while_loop(
+    (view, ea, eb, _, _, n_iters, _, loss, ovf) = jax.lax.while_loop(
         cond, body, init
     )
     # Final render at the converged pose: median depth + visibility.
     out = render(track_inputs, view, proj, settings)
     med = L.median_depth(out.depth, out.opacity)
-    return view, ea, eb, n_iters, loss, med, out.n_touched > 0, out.overflow
+    return (view, ea, eb, n_iters, loss, med, out.n_touched > 0,
+            ovf | out.overflow)
 
 
 class FrontEnd:

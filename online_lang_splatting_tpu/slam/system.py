@@ -210,6 +210,7 @@ class SLAM:
             cur_window = []
             last_kf = 0
             frames_since_kf = 0
+        self._last_ckpt_idx = start_frame
         # Wall-clock phase accounting (reference logs Total FPS,
         # slam.py:165-171; we additionally break it down).
         self.phase_times = {"data": 0.0, "track": 0.0, "map": 0.0,
@@ -299,7 +300,10 @@ class SLAM:
             _tick("map", t0)
             last_kf = idx
             frames_since_kf = 0
-            if checkpoint_every and idx % checkpoint_every == 0:
+            # Keyframe indices are irregular, so an exact `idx % N == 0`
+            # match rarely fires; snapshot at the first keyframe boundary
+            # >= N frames after the previous checkpoint instead.
+            if checkpoint_every and idx - self._last_ckpt_idx >= checkpoint_every:
                 from . import checkpoint
 
                 path = (self.save_dir or Path("results")) / (
@@ -307,6 +311,7 @@ class SLAM:
                 )
                 Path(path).parent.mkdir(parents=True, exist_ok=True)
                 checkpoint.save_state(self, path, idx + 1)
+                self._last_ckpt_idx = idx
                 print(f"[checkpoint] saved {path}")
 
         self.fps = (n - start_frame) / (time.time() - t_start)
