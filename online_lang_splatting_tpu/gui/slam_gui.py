@@ -1,10 +1,13 @@
 """Interactive open3d SLAM viewer (reference gui/slam_gui.py:34-777).
 
 A live window fed `GaussianPacket`s over a queue: renders the current map
-with the Pallas rasterizer from a user-orbitable camera, display modes
-RGB / depth / opacity / ellipsoid, keyframe frustum overlay, and a pause
-button that sends `Packet_vis2main(flag_pause)` back to the SLAM loop —
-the reference's vis↔main protocol.
+with the Pallas rasterizer either from the SLAM camera or from a
+user-navigable free orbit camera (azimuth / elevation / distance sliders +
+pan buttons, gui/orbit.py), with a keyframe-frustum wireframe overlay
+projected into the panel (the reference's frustum line sets,
+slam_gui.py:233-320). Display modes RGB / depth / opacity / language /
+ellipsoid, and a pause button that sends `Packet_vis2main(flag_pause)`
+back to the SLAM loop — the reference's vis↔main protocol.
 
 Requires open3d (not installed on headless TPU hosts — the module
 import-guards it and the HeadlessViewer in viewer.py remains the default;
@@ -28,6 +31,7 @@ from typing import Any, Optional
 
 import numpy as np
 
+from .orbit import OrbitCamera, draw_frustums
 from .viewer import GaussianPacket, _depth_colormap, _lang_pca
 
 
@@ -82,6 +86,9 @@ class SLAM_GUI:
         self.packet: Optional[GaussianPacket] = None
         self.mode = "rgb"
         self.paused = False
+        self.free_cam = False
+        self.show_frustums = True
+        self.orbit = OrbitCamera()
         self._build_window()
         self._poll = threading.Thread(target=self._poll_queue, daemon=True)
         self._poll.start()
@@ -103,6 +110,38 @@ class SLAM_GUI:
         self.pause_btn.set_on_clicked(self._on_pause)
         panel.add_child(self.mode_combo)
         panel.add_child(self.pause_btn)
+        # Free-camera navigation (reference free-view GL camera).
+        self.free_cb = gui.Checkbox("Free camera")
+        self.free_cb.set_on_checked(self._on_free_cam)
+        panel.add_child(self.free_cb)
+        self.frustum_cb = gui.Checkbox("Keyframe frustums")
+        self.frustum_cb.checked = True
+        self.frustum_cb.set_on_checked(self._on_frustums)
+        panel.add_child(self.frustum_cb)
+        self._sliders = {}
+        for name, lo, hi, val in (
+            ("azimuth", -180.0, 180.0, 0.0),
+            ("elevation", -89.0, 89.0, 0.0),
+            ("distance", 0.1, 20.0, 3.0),
+        ):
+            panel.add_child(gui.Label(name))
+            sl = gui.Slider(gui.Slider.DOUBLE)
+            sl.set_limits(lo, hi)
+            sl.double_value = val
+            sl.set_on_value_changed(
+                lambda v, n=name: self._on_orbit(n, v)
+            )
+            self._sliders[name] = sl
+            panel.add_child(sl)
+        row = gui.Horiz()
+        for label, dx, dy in (
+            ("←", -0.1, 0.0), ("→", 0.1, 0.0), ("↑", 0.0, -0.1),
+            ("↓", 0.0, 0.1),
+        ):
+            b = gui.Button(label)
+            b.set_on_clicked(lambda dx=dx, dy=dy: self._on_pan(dx, dy))
+            row.add_child(b)
+        panel.add_child(row)
         layout = gui.Horiz()
         layout.add_child(self.widget)
         layout.add_child(panel)
@@ -110,6 +149,32 @@ class SLAM_GUI:
 
     def _on_mode(self, text, _idx):
         self.mode = text
+
+    def _on_free_cam(self, checked):
+        self.free_cam = bool(checked)
+        if checked and self.packet is not None and self.packet.view is not None:
+            # Start orbiting from the live camera's target point.
+            v = np.linalg.inv(np.asarray(self.packet.view, np.float64))
+            self.orbit.target = v[:3, 3] + 2.0 * v[:3, 2]
+            self.orbit.radius = 2.0
+        self._refresh()
+
+    def _on_frustums(self, checked):
+        self.show_frustums = bool(checked)
+        self._refresh()
+
+    def _on_orbit(self, name, value):
+        if name == "azimuth":
+            self.orbit.azimuth = np.deg2rad(value)
+        elif name == "elevation":
+            self.orbit.elevation = np.deg2rad(value)
+        else:
+            self.orbit.radius = float(value)
+        self._refresh()
+
+    def _on_pan(self, dx, dy):
+        self.orbit.pan(dx * self.orbit.radius, dy * self.orbit.radius)
+        self._refresh()
 
     def _on_pause(self):
         # Reference Packet_vis2main round trip (slam_gui.py pause flow).
@@ -141,8 +206,12 @@ class SLAM_GUI:
         if self.mode == "ellipsoid":
             xyz, rgb, _s, _q = ellipsoid_geometry(pkt.render_inputs)
             return self._pointcloud_view(xyz, rgb, pkt)
+        view = (
+            self.orbit.view_matrix() if self.free_cam
+            else np.asarray(pkt.view)
+        )
         out = render(
-            pkt.render_inputs, jnp.asarray(pkt.view), pkt.proj, pkt.settings
+            pkt.render_inputs, jnp.asarray(view), pkt.proj, pkt.settings
         )
         if self.mode == "depth":
             img = _depth_colormap(np.asarray(out.depth)[0])
@@ -154,7 +223,18 @@ class SLAM_GUI:
             img = _lang_pca(np.asarray(out.language))
         else:
             img = np.clip(np.asarray(out.color).transpose(1, 2, 0), 0, 1)
-        return (img * 255).astype(np.uint8)
+        img = np.ascontiguousarray(img, np.float64)
+        if self.show_frustums and pkt.keyframe_poses:
+            st = pkt.settings
+            h, w = st.image_height, st.image_width
+            fx = w / (2.0 * st.tanfovx)
+            fy = h / (2.0 * st.tanfovy)
+            draw_frustums(
+                img, view, pkt.keyframe_poses,
+                fx=fx, fy=fy, cx=w / 2.0, cy=h / 2.0,
+                tanfovx=st.tanfovx, tanfovy=st.tanfovy,
+            )
+        return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
     def _pointcloud_view(self, xyz, rgb, pkt):
         o3d = self.o3d

@@ -39,6 +39,7 @@ class GaussianPacket:
     gtlanguage: Any = None              # (L, h, w)
     frame_idx: int = 0
     keyframe_window: list = field(default_factory=list)
+    keyframe_poses: list = field(default_factory=list)  # (4,4) W2C per KF
     finish: bool = False
 
 

@@ -69,8 +69,17 @@ def load_extractor_from_dir(weights_dir, config):
 
 
 class OnlineAETrainer:
-    """Two-stage online 32→15 compressor trained during SLAM
-    (slam_backend.train_online_autoencoder semantics)."""
+    """Two-stage online 32→15 compressor trained continuously during SLAM.
+
+    Mirrors the reference's train_online_autoencoder cadence
+    (/root/reference/utils/slam_backend.py:266-323): one gradient step on a
+    keyframe's cached 32-d codes (l1 + 0.6·(1−cos)) at every new-keyframe
+    feature extraction (:562-572), every 5 init iterations (:397-407), and
+    on every random anti-forgetting keyframe visit during mapping
+    (:640-648). The per-iteration visits are replayed at mapping-chunk
+    boundaries as ONE jitted lax.scan over the visited stack rows — the
+    same step count and data order, without per-iteration host dispatches.
+    """
 
     def __init__(self, steps_per_call: int = 1, lr: float = 1e-3):
         import jax
@@ -86,7 +95,11 @@ class OnlineAETrainer:
         self.optimizer = make_online_optimizer(lr)
         self.opt_state = self.optimizer.init(self.params)
         self._step = None
+        self._scan = {}
         self.steps_per_call = steps_per_call
+        self.step_count = 0
+        self.last_loss = None
+        self.loss_history = []  # device scalars, one per gradient step
 
     def train_and_encode(self, codes32):
         import jax
@@ -96,12 +109,65 @@ class OnlineAETrainer:
         if self._step is None:
             self._step = jax.jit(online_train_step(self.model, self.optimizer))
         for _ in range(self.steps_per_call):
-            self.params, self.opt_state, _ = self._step(
+            self.params, self.opt_state, loss = self._step(
                 self.params, self.opt_state, codes32
             )
+            self.step_count += 1
+            self.last_loss = loss
+            self.loss_history.append(loss)
         return self.model.apply(
             {"params": self.params}, codes32, method=EncoderDecoderOnline.encode
         )
+
+    def train_rows(self, rows, cocos):
+        """Run one gradient step per entry of `rows` (stack-row indices
+        into `cocos` (cap, N, 32)), in order, as one scanned dispatch.
+        Returns the per-step losses (device array, (len(rows),))."""
+        import jax
+        import jax.numpy as jnp_
+
+        from .autoencoder import online_train_step
+
+        if not len(rows):
+            return None
+        n = len(rows)
+        # Pad to a power-of-2 bucket (marker -1 = no-op step) so scan
+        # lengths don't multiply compile variants.
+        m = 1
+        while m < n:
+            m *= 2
+        idx = np.full((m,), -1, np.int32)
+        idx[:n] = rows
+        key = (m, cocos.shape)
+        if key not in self._scan:
+            step = online_train_step(self.model, self.optimizer)
+
+            def scan_fn(params, opt_state, idx, cocos):
+                def body(carry, i):
+                    p, s = carry
+                    p2, s2, loss = step(p, s, cocos[jnp_.maximum(i, 0)])
+                    keep = i >= 0
+                    p = jax.tree.map(
+                        lambda a, b: jnp_.where(keep, b, a), p, p2
+                    )
+                    s = jax.tree.map(
+                        lambda a, b: jnp_.where(keep, b, a), s, s2
+                    )
+                    return (p, s), jnp_.where(keep, loss, jnp_.nan)
+
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), idx
+                )
+                return params, opt_state, losses
+
+            self._scan[key] = jax.jit(scan_fn)
+        self.params, self.opt_state, losses = self._scan[key](
+            self.params, self.opt_state, jnp_.asarray(idx), cocos,
+        )
+        self.step_count += n
+        self.last_loss = losses[n - 1]
+        self.loss_history.extend(losses[i] for i in range(n))
+        return losses[:n]
 
     def decode(self, codes15):
         from .autoencoder import EncoderDecoderOnline

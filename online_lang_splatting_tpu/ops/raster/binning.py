@@ -4,13 +4,20 @@ TPU-native replacement for the reference's cub pipeline
 (/root/reference/submodules/diff-gaussian-rasterization/cuda_rasterizer/
 rasterizer_impl.cu:216-362: InclusiveSum → duplicateWithKeys →
 DeviceRadixSort over [tileID|depth-bits] → identifyTileRanges). Instead of
-dynamic allocations and 64-bit keys we use static capacities, a stable
-two-key `lax.sort` (tile major, depth minor — identical order to the
-float-bit radix sort for positive depths, ties broken by Gaussian index
-like the stable radix pass), and a *chunk-aligned* slot layout: every
-tile's instance run is padded to a multiple of the blend kernel's chunk
-size so one grid step never straddles two tiles. Empty capacity is marked
-with Gaussian id -1.
+dynamic allocations and 64-bit keys we use static capacities and a
+*chunk-aligned* slot layout: every tile's instance run is padded to a
+multiple of the blend kernel's chunk size so one grid step never straddles
+two tiles. Empty capacity is marked with Gaussian id -1.
+
+Sort strategy (the round-3 rewrite): instead of sorting S instances by the
+(tile, depth) pair (S ≈ 5–8·P — the dominant cost at scale), the P
+*Gaussians* are depth-sorted first and instances are emitted in that
+order; the instance pass then only needs a sort by (tile, emission index),
+which packs into ONE u32 key (tile in the high bits, instance index in the
+low bits) whenever ceil(log2(num_tiles+1)) + ceil(log2(cap)) <= 32 — true
+for every production configuration. Within a tile, emission order equals
+(depth asc, Gaussian id asc), i.e. exactly the float-bit radix order of
+the reference (positive depths) with its stable tie-break.
 
 Everything here is shape-static and jit-compatible; `overflow` reports
 when the capacity was exceeded (results are then truncated and the caller
@@ -56,36 +63,48 @@ def bin_gaussians(
     num_chunks = slot_cap // chunk
 
     tiles_touched = prep.tiles_touched
-    cum = jnp.cumsum(tiles_touched)
-    total = cum[-1]
-    offsets = cum - tiles_touched  # exclusive
 
-    # Expand instances: instance i belongs to gaussian g(i). A searchsorted
-    # over millions of instances costs ~log(P) random gathers each (the
-    # dominant cost of the whole pipeline on TPU); instead scatter each
-    # Gaussian's id at its first instance slot and take a running max —
-    # one scatter of P values + one associative scan.
-    inst = jnp.arange(cap, dtype=jnp.int32)
-    start_marks = jnp.full((cap,), -1, jnp.int32).at[
-        jnp.where(tiles_touched > 0, offsets, cap)
-    ].max(jnp.arange(p, dtype=jnp.int32), mode="drop")
-    gid_c = jnp.maximum(jax.lax.cummax(start_marks), 0)
+    # ---- Depth pre-sort of the P Gaussians (P-sized — ~5-8x smaller than
+    # the instance sort it lets us avoid). Stable sort on depth keeps the
+    # reference tie-break (ascending Gaussian id).
+    d_key = jnp.where(tiles_touched > 0, prep.depth, jnp.inf)
+    _, perm = jax.lax.sort(
+        (d_key, jnp.arange(p, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    tt_s = tiles_touched[perm]
+    cum = jnp.cumsum(tt_s)
+    total = cum[-1]
+    offsets = (cum - tt_s).astype(jnp.int32)  # exclusive, sorted space
+
     # One wide-row gather of everything the expansion needs (separate
     # column gathers each pay full random-access cost). f32 holds these
     # ints exactly (all < 2^24).
-    gtable = jnp.stack(
+    gtab = jnp.stack(
         [
-            offsets.astype(jnp.float32),
             prep.rect_min[:, 0].astype(jnp.float32),
             prep.rect_min[:, 1].astype(jnp.float32),
             jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1).astype(
                 jnp.float32
             ),
-            prep.depth,
+            jnp.arange(p, dtype=jnp.float32),  # original Gaussian id
         ],
         axis=1,
     )
-    rows = gtable[gid_c]
+    gtab_s = jnp.concatenate(
+        [offsets[:, None].astype(jnp.float32), gtab[perm]], axis=1
+    )  # (P, 5): offset, rect_min_x, rect_min_y, rect_w, orig_id
+
+    # Expand instances: instance i belongs to sorted-Gaussian g(i). A
+    # searchsorted over millions of instances costs ~log(P) random gathers
+    # each; instead scatter each Gaussian's position at its first instance
+    # slot and take a running max — one scatter of P values + one
+    # associative scan.
+    inst = jnp.arange(cap, dtype=jnp.int32)
+    start_marks = jnp.full((cap,), -1, jnp.int32).at[
+        jnp.where(tt_s > 0, offsets, cap)
+    ].max(jnp.arange(p, dtype=jnp.int32), mode="drop")
+    gid_c = jnp.maximum(jax.lax.cummax(start_marks), 0)  # sorted positions
+    rows = gtab_s[gid_c]
     local = inst - rows[:, 0].astype(jnp.int32)
     width = rows[:, 3].astype(jnp.int32)
     tx = rows[:, 1].astype(jnp.int32) + local % width
@@ -93,12 +112,23 @@ def bin_gaussians(
     tile = ty * tiles_x + tx
     inst_valid = inst < total
     tile = jnp.where(inst_valid, tile, num_tiles)
+    orig = rows[:, 4].astype(jnp.int32)  # original Gaussian id per instance
 
-    # Sort instances by (tile, depth), stable in gaussian order.
-    depth = jnp.where(inst_valid, rows[:, 4], jnp.inf)
-    s_tile, _, s_gid = jax.lax.sort(
-        (tile, depth, gid_c), num_keys=2, is_stable=True
-    )
+    # Sort instances by tile, stable in emission (= depth) order. When
+    # tile and emission index pack into 32 bits this is ONE u32 key with
+    # no payload — far cheaper than a multi-operand sort.
+    inst_bits = max((cap - 1).bit_length(), 1)
+    if num_tiles + 1 <= (1 << (32 - inst_bits)):
+        key = (
+            tile.astype(jnp.uint32) << inst_bits
+        ) | inst.astype(jnp.uint32)
+        (s_key,) = jax.lax.sort((key,), num_keys=1)
+        s_tile = (s_key >> inst_bits).astype(jnp.int32)
+        s_inst = (s_key & jnp.uint32((1 << inst_bits) - 1)).astype(jnp.int32)
+    else:  # huge-capacity fallback: distinct (tile, inst) pairs — a 2-key
+        # sort is a total order, identical result.
+        s_tile, s_inst = jax.lax.sort((tile, inst), num_keys=2)
+    s_gid = orig[s_inst]
 
     # Per-tile ranges in the sorted instance array.
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)

@@ -159,7 +159,7 @@ def _composite(alpha, skip, t_prev, done_prev):
 
 def _fwd_kernel(
     # scalar prefetch
-    ct_ref, cf_ref, cl_ref,
+    ct_ref, cf_ref, cl_ref, lim_ref,
     # inputs
     geom_ref, feat_ref,
     # outputs
@@ -199,7 +199,14 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        pix_ok = a["in_tile"] & (a["px"] < width) & (a["py"] < height)
+        # py limit is DYNAMIC (scalar prefetch): a band-parallel caller
+        # renders a band_h-tall strip whose valid-row count depends on the
+        # band index (parallel/tile_shard.py); single-device callers pass
+        # the static image height.
+        pix_ok = (
+            a["in_tile"] & (a["px"] < width)
+            & (a["py"] < lim_ref[0].astype(jnp.float32))
+        )
         touched = contrib & (test_t > C.N_TOUCHED_T) & pix_ok
         nt_s[pl.ds(nt_row, 1), :] = jnp.sum(
             touched, axis=1, dtype=jnp.int32
@@ -235,7 +242,7 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    ct_ref, cf_ref, cl_ref,
+    ct_ref, cf_ref, cl_ref, lim_ref,
     geom_ref, feat_ref, gacc_ref, acc_res_ref,
     dgeom_ref, dfeat_ref,
     t_s, done_s, carry_ref,
@@ -349,19 +356,20 @@ def _pack_instances(xy, conic, opacity, color, lang, depth, point_list):
     return geom, feat, f_pad, f_out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
 def _blend_core(xy, conic, opacity, color, lang, depth, point_list, chunk_tile,
-                chunk_first, chunk_last, tile_counts, tile, width, height):
+                chunk_first, chunk_last, tile_counts, py_limit,
+                tile, width, height):
     out, _ = _blend_fwd_impl(
         xy, conic, opacity, color, lang, depth, point_list, chunk_tile,
-        chunk_first, chunk_last, tile_counts, tile, width, height
+        chunk_first, chunk_last, tile_counts, py_limit, tile, width, height
     )
     return out
 
 
 def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, point_list,
                     chunk_tile, chunk_first, chunk_last, tile_counts,
-                    tile, width, height):
+                    py_limit, tile, width, height):
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
     num_tiles = tiles_x * tiles_y
@@ -377,16 +385,17 @@ def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, point_list,
         f_pad=f_pad, f_out=f_out, width=width, height=height,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((GEOM_ROWS, CHUNK), lambda c, ct, cf, cl: (0, c)),
-            pl.BlockSpec((f_pad, CHUNK), lambda c, ct, cf, cl: (0, c)),
+            pl.BlockSpec((GEOM_ROWS, CHUNK), lambda c, *_: (0, c)),
+            pl.BlockSpec((f_pad, CHUNK), lambda c, *_: (0, c)),
         ],
         out_specs=[
-            pl.BlockSpec((1, f_pad, pix), lambda c, ct, cf, cl: (ct[c], 0, 0)),
+            pl.BlockSpec((1, f_pad, pix),
+                         lambda c, ct, cf, cl, lim: (ct[c], 0, 0)),
             pl.BlockSpec(
-                (NT_ROWS, CHUNK), lambda c, ct, cf, cl: (c // NT_ROWS, 0)
+                (NT_ROWS, CHUNK), lambda c, *_: (c // NT_ROWS, 0)
             ),
         ],
         scratch_shapes=[
@@ -406,7 +415,7 @@ def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, point_list,
             jax.ShapeDtypeStruct((num_chunks, CHUNK), jnp.int32),
         ],
         interpret=_interpret(),
-    )(chunk_tile, chunk_first, chunk_last, geom, feat)
+    )(chunk_tile, chunk_first, chunk_last, py_limit, geom, feat)
 
     # Sanitize tiles no chunk ever visited (empty tiles + the dummy row):
     # zero accumulators, final_T (channel row f_out) = 1.
@@ -417,21 +426,24 @@ def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, point_list,
     residuals = (
         xy, conic, opacity, color, lang, depth, acc,
         point_list, chunk_tile, chunk_first, chunk_last, tile_counts,
+        py_limit,
     )
     return out, residuals
 
 
 def _blend_fwd(xy, conic, opacity, color, lang, depth, point_list, chunk_tile,
-               chunk_first, chunk_last, tile_counts, tile, width, height):
+               chunk_first, chunk_last, tile_counts, py_limit,
+               tile, width, height):
     return _blend_fwd_impl(
         xy, conic, opacity, color, lang, depth, point_list, chunk_tile,
-        chunk_first, chunk_last, tile_counts, tile, width, height
+        chunk_first, chunk_last, tile_counts, py_limit, tile, width, height
     )
 
 
 def _blend_bwd(tile, width, height, residuals, cotangents):
     (xy, conic, opacity, color, lang, depth, acc_res,
-     point_list, chunk_tile, chunk_first, chunk_last, tile_counts) = residuals
+     point_list, chunk_tile, chunk_first, chunk_last, tile_counts,
+     py_limit) = residuals
     g_acc, _ = cotangents  # n_touched is int — no cotangent
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
@@ -449,17 +461,19 @@ def _blend_bwd(tile, width, height, residuals, cotangents):
         f_pad=f_pad, f_out=f_out, width=width, height=height,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((GEOM_ROWS, CHUNK), lambda c, ct, cf, cl: (0, c)),
-            pl.BlockSpec((f_pad, CHUNK), lambda c, ct, cf, cl: (0, c)),
-            pl.BlockSpec((1, f_pad, pix), lambda c, ct, cf, cl: (ct[c], 0, 0)),
-            pl.BlockSpec((1, f_pad, pix), lambda c, ct, cf, cl: (ct[c], 0, 0)),
+            pl.BlockSpec((GEOM_ROWS, CHUNK), lambda c, *_: (0, c)),
+            pl.BlockSpec((f_pad, CHUNK), lambda c, *_: (0, c)),
+            pl.BlockSpec((1, f_pad, pix),
+                         lambda c, ct, cf, cl, lim: (ct[c], 0, 0)),
+            pl.BlockSpec((1, f_pad, pix),
+                         lambda c, ct, cf, cl, lim: (ct[c], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((GEOM_ROWS, CHUNK), lambda c, ct, cf, cl: (0, c)),
-            pl.BlockSpec((f_pad, CHUNK), lambda c, ct, cf, cl: (0, c)),
+            pl.BlockSpec((GEOM_ROWS, CHUNK), lambda c, *_: (0, c)),
+            pl.BlockSpec((f_pad, CHUNK), lambda c, *_: (0, c)),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, pix), jnp.float32),
@@ -475,7 +489,8 @@ def _blend_bwd(tile, width, height, residuals, cotangents):
             jax.ShapeDtypeStruct((f_pad, point_list.shape[0]), jnp.float32),
         ],
         interpret=_interpret(),
-    )(chunk_tile, chunk_first, chunk_last, geom, feat, g_acc, acc_res)
+    )(chunk_tile, chunk_first, chunk_last, py_limit, geom, feat, g_acc,
+      acc_res)
 
     # Segment-sum per-instance grads back to per-Gaussian grads as ONE
     # wide-row scatter-add (six narrow scatters each pay full random-access
@@ -493,7 +508,7 @@ def _blend_bwd(tile, width, height, residuals, cotangents):
     d_lang = table[:, 9 : 9 + f_lang]
     d_depth = table[:, 9 + f_lang]
     return (d_xy, d_conic, d_op, d_color, d_lang, d_depth,
-            None, None, None, None, None)
+            None, None, None, None, None, None)
 
 
 _blend_core.defvjp(_blend_fwd, _blend_bwd)
@@ -509,6 +524,7 @@ def blend_tiled(
     tile: int = C.DEFAULT_TILE,
     max_instances: int | None = None,
     chunk: int = CHUNK,
+    py_limit: jax.Array | None = None,
 ):
     """Full tiled pipeline: bin → Pallas blend → image assembly.
 
@@ -536,11 +552,16 @@ def blend_tiled(
     )
     f_lang = lang.shape[1]
 
+    if py_limit is None:
+        py_limit = jnp.full((1,), height, jnp.int32)
+    else:
+        py_limit = jnp.asarray(py_limit, jnp.int32).reshape(1)
     acc, nt_chunks = _blend_core(
         prep.xy, prep.conic, prep.opacity, prep.color, lang,
         jnp.where(prep.valid, prep.depth, 0.0),
         binning.point_list, binning.chunk_tile, binning.chunk_first,
-        binning.chunk_last, binning.tile_counts, tile, width, height,
+        binning.chunk_last, binning.tile_counts, py_limit,
+        tile, width, height,
     )
 
     # n_touched: per-chunk rows -> per-instance -> per-Gaussian.

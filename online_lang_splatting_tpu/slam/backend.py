@@ -390,6 +390,11 @@ class FrameStack:
         self.depths = jnp.zeros((cap, 1, h, w), jnp.float32)
         self.langs = jnp.zeros((cap, lang_dim) + tuple(lang_hw), jnp.float32)
         self.lang_on = np.zeros((cap,), bool)  # host-side flag
+        self.coco_on = np.zeros((cap,), bool)
+        # Two-stage mode only (lazy): per-keyframe 32-d CLIP codes cached
+        # for continuous online-AE training (the reference keeps them as
+        # viewpoint.coco_lang_feat, slam_backend.py:562-576).
+        self.cocos = None
 
     def _grow(self):
         def pad(a):
@@ -400,8 +405,13 @@ class FrameStack:
         self.images = pad(self.images)
         self.depths = pad(self.depths)
         self.langs = pad(self.langs)
+        if self.cocos is not None:
+            self.cocos = pad(self.cocos)
         self.lang_on = np.concatenate(
             [self.lang_on, np.zeros((self.cap,), bool)]
+        )
+        self.coco_on = np.concatenate(
+            [self.coco_on, np.zeros((self.cap,), bool)]
         )
         self.cap *= 2
 
@@ -423,6 +433,17 @@ class FrameStack:
         row = self.row_of[kf_idx]
         self.langs = self.langs.at[row].set(lang)
         self.lang_on[row] = True
+
+    def set_coco(self, kf_idx: int, codes):
+        """Cache a keyframe's (N, 32) mid-dim codes for online-AE training."""
+        row = self.row_of[kf_idx]
+        codes = jnp.asarray(codes, jnp.float32)
+        if self.cocos is None:
+            self.cocos = jnp.zeros(
+                (self.cap,) + codes.shape, jnp.float32
+            )
+        self.cocos = self.cocos.at[row].set(codes)
+        self.coco_on[row] = True
 
 
 @functools.partial(jax.jit, static_argnames=("n_target",))
@@ -637,6 +658,9 @@ class BackEnd:
             return
         code = self.lang_extractor.encode_frame(cam.image.transpose(1, 2, 0) * 255.0)
         if self.online_ae is not None:
+            # New-keyframe extraction trains the online codec once on the
+            # fresh codes (slam_backend.py:562-572) and caches them for the
+            # continuous per-iteration training replays (see _run_chunk).
             cam.coco_lang_feat = code.reshape(-1, code.shape[-1])
             code = self.online_ae.train_and_encode(cam.coco_lang_feat).reshape(
                 self.lang_hw[0], self.lang_hw[1], -1
@@ -647,6 +671,8 @@ class BackEnd:
             and cam.uid in self.frame_stack.row_of
         ):
             self.frame_stack.set_lang(cam.uid, cam.gt_lang_feat)
+            if self.online_ae is not None:
+                self.frame_stack.set_coco(cam.uid, cam.coco_lang_feat)
 
     # -- mapping ------------------------------------------------------------
 
@@ -816,9 +842,11 @@ class BackEnd:
                 )
         (self.params, self.opt, self.aux, new_r, new_t, new_ea, new_eb,
          self.keyframe_optimizer_state, occ_vis, losses, _ovf) = out
+        count0 = self.iteration_count
         self.iteration_count += n
         staged_window[0], staged_window[1] = new_r, new_t
         staged_window[2], staged_window[3] = new_ea, new_eb
+        self._replay_online_ae(window, rand, count0, n, lang_run, init_mode)
 
         # Write back window poses/exposures.
         new_r_h, new_t_h = np.asarray(new_r), np.asarray(new_t)
@@ -836,6 +864,42 @@ class BackEnd:
         for i, idx in enumerate(window):
             self.occ_aware_visibility[idx] = occ[i]
         return occ
+
+    def _replay_online_ae(self, window, rand, count0: int, n: int,
+                          lang_run: bool, init_mode: bool):
+        """Continuous two-stage online-AE training, replayed at chunk
+        boundaries with the reference's exact step schedule
+        (slam_backend.py:397-407 init: one step per 5th init iteration on
+        the init keyframe's codes; :640-648 mapping: one step per random
+        anti-forgetting keyframe visit, two visits per iteration). The
+        chunk's iterations [count0, count0+n) are walked in order and the
+        visited keyframes' cached 32-d codes are trained as one scanned
+        dispatch — identical step count and data order to the reference's
+        per-iteration host loop."""
+        stack = self.frame_stack
+        if (self.online_ae is None or not lang_run or not self.lang_train
+                or stack is None or stack.cocos is None):
+            return
+        rows_seq: List[int] = []
+        if init_mode:
+            r0 = stack.row_of.get(window[0])
+            if r0 is not None and stack.coco_on[r0]:
+                for j in range(n):
+                    it = count0 + j
+                    # Iteration 0's firing already happened at extraction
+                    # time (train_and_encode in ensure_lang_features).
+                    if it % 5 == 0 and it != 0:
+                        rows_seq.append(r0)
+        else:
+            rows_h = np.asarray(rand[0])
+            valid_h = np.asarray(rand[1])
+            for j in range(n):
+                for k in range(rows_h.shape[1]):
+                    r = int(rows_h[j, k])
+                    if valid_h[j, k] and stack.coco_on[r]:
+                        rows_seq.append(r)
+        if rows_seq:
+            self.online_ae.train_rows(rows_seq, stack.cocos)
 
     def map(self, window: List[int], iters: int = 1, lang_run: bool = False,
             prune: bool = False, init_mode: bool = False) -> bool:

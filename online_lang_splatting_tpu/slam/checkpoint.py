@@ -62,6 +62,8 @@ def save_state(slam, path, frame_idx: int):
         )
         if cam.gt_lang_feat is not None:
             out[f"cam/{i}/lang"] = np.asarray(cam.gt_lang_feat)
+        if cam.coco_lang_feat is not None:
+            out[f"cam/{i}/coco"] = np.asarray(cam.coco_lang_feat)
     for i, occ in be.occ_aware_visibility.items():
         out[f"occ/{i}"] = np.asarray(occ)
     # Tracked (non-KF) camera poses for trajectory eval continuity.
@@ -146,6 +148,9 @@ def load_state(slam, path):
             cam.gt_lang_feat
         ).shape == (be.lang_dim,) + be.lang_hw:
             be.frame_stack.set_lang(i, jnp.asarray(cam.gt_lang_feat))
+        if f"cam/{i}/coco" in data:
+            cam.coco_lang_feat = jnp.asarray(data[f"cam/{i}/coco"])
+            be.frame_stack.set_coco(i, cam.coco_lang_feat)
     for key in data.files:
         if key.startswith("occ/"):
             be.occ_aware_visibility[int(key[4:])] = data[key]

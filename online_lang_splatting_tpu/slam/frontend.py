@@ -115,10 +115,15 @@ def tracking_run(
 
 
 class FrontEnd:
-    def __init__(self, config: dict, settings: RasterSettings, backend_queue=None):
+    def __init__(self, config: dict, settings: RasterSettings,
+                 backend_queue=None, mesh=None):
         self.config = config
         self.settings = settings
         self.backend_queue = backend_queue
+        # Optional device mesh: tracking renders band-parallel over chips
+        # (parallel/tile_shard.py) — latency, not just throughput, scales
+        # with the pod size.
+        self.mesh = mesh
         tr = config["Training"]
         self.tracking_itr_num = tr["tracking_itr_num"]
         self.kf_interval = tr["kf_interval"]
@@ -155,14 +160,28 @@ class FrontEnd:
         # On raster instance-pool overflow: grow the bucket and REDO the
         # whole frame (truncated renders would corrupt the pose estimate).
         for _attempt in range(4):
-            (view, ea, eb, n_iters, loss, med, visibility,
-             overflow) = tracking_run(
-                self.render_inputs, view0, proj, cam.image, gt_depth,
-                cam.grad_mask, jnp.asarray(cam.exposure_a, jnp.float32),
-                jnp.asarray(cam.exposure_b, jnp.float32), lrs,
-                settings=self.settings, max_iters=max_iters,
-                rgb_threshold=self.rgb_boundary_threshold,
-            )
+            if self.mesh is not None:
+                from ..parallel.tile_shard import make_banded_tracking_run
+
+                run = make_banded_tracking_run(
+                    self.mesh, self.settings, max_iters=max_iters,
+                    rgb_threshold=self.rgb_boundary_threshold,
+                )
+                (view, ea, eb, n_iters, loss, med, visibility,
+                 overflow) = run(
+                    self.render_inputs, view0, proj, cam.image, gt_depth,
+                    cam.grad_mask, jnp.asarray(cam.exposure_a, jnp.float32),
+                    jnp.asarray(cam.exposure_b, jnp.float32), lrs,
+                )
+            else:
+                (view, ea, eb, n_iters, loss, med, visibility,
+                 overflow) = tracking_run(
+                    self.render_inputs, view0, proj, cam.image, gt_depth,
+                    cam.grad_mask, jnp.asarray(cam.exposure_a, jnp.float32),
+                    jnp.asarray(cam.exposure_b, jnp.float32), lrs,
+                    settings=self.settings, max_iters=max_iters,
+                    rgb_threshold=self.rgb_boundary_threshold,
+                )
             if not bool(overflow):
                 break
             self.settings = self.settings._replace(

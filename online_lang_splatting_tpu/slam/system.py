@@ -99,11 +99,22 @@ class SLAM:
                 height=height, width=width,
             )
         )
+        # Optional multi-chip execution: config `mesh_devices: N` builds an
+        # N-chip dp mesh; mapping shards keyframe slots over it
+        # (parallel/mesh.py) and tracking renders band-parallel
+        # (parallel/tile_shard.py).
+        mesh = None
+        n_mesh = config.get("mesh_devices", 0)
+        if n_mesh:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_mesh)
         self.backend = BackEnd(
             config, self.settings, self.proj, capacity=cap0,
             lang_extractor=lang_extractor, online_ae=online_ae,
+            mesh=mesh,
         )
-        self.frontend = FrontEnd(config, self.settings)
+        self.frontend = FrontEnd(config, self.settings, mesh=mesh)
         self.frontend_queue: "queue.Queue" = queue.Queue()
         self.backend_queue: "queue.Queue" = queue.Queue()
         self.use_every_n_frames = 1
@@ -255,6 +266,10 @@ class SLAM:
                     settings=self.settings, gtcolor=cam.image,
                     gtdepth=cam.depth, frame_idx=idx,
                     keyframe_window=list(cur_window),
+                    keyframe_poses=[
+                        fe.cameras[k].world_view_transform
+                        for k in cur_window if k in fe.cameras
+                    ] + [cam.world_view_transform],
                 ))
 
             if last_kf in fe.occ_aware_visibility:

@@ -71,3 +71,61 @@ def test_gui_pause_protocol():
     slam.q_vis2main.put(Packet_vis2main(flag_pause=False))
     slam._check_gui_pause()
     assert slam._gui_paused is False
+
+
+def test_orbit_camera_view_matrix_orthonormal():
+    from online_lang_splatting_tpu.gui.orbit import OrbitCamera
+
+    cam = OrbitCamera(target=(0.5, -0.2, 3.0), radius=2.0)
+    cam.rotate(0.7, 0.3)
+    cam.zoom(1.5)
+    cam.pan(0.2, -0.1)
+    v = cam.view_matrix()
+    r = v[:3, :3]
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)
+    assert np.linalg.det(r) > 0.99
+    # The target projects onto the optical axis at positive depth.
+    t_cam = r @ cam.target + v[:3, 3]
+    assert t_cam[2] > 0
+    np.testing.assert_allclose(t_cam[:2], 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.abs(t_cam[2]), cam.radius, atol=1e-6)
+
+
+def test_orbit_camera_elevation_clamped():
+    from online_lang_splatting_tpu.gui.orbit import OrbitCamera
+
+    cam = OrbitCamera()
+    cam.rotate(0.0, 10.0)
+    assert cam.elevation < np.pi / 2
+    cam.rotate(0.0, -20.0)
+    assert cam.elevation > -np.pi / 2
+
+
+def test_frustum_overlay_draws_visible_keyframes():
+    from online_lang_splatting_tpu.gui.orbit import (
+        FRUSTUM_LINES, draw_frustums, frustum_points,
+    )
+
+    # A keyframe at the origin looking down +z; viewer 2m behind it.
+    kf = np.eye(4)
+    pts = frustum_points(kf, 0.5, 0.4, scale=0.2)
+    assert pts.shape == (5, 3)
+    np.testing.assert_allclose(pts[0], 0.0, atol=1e-9)  # apex = camera center
+    assert FRUSTUM_LINES.shape == (8, 2)
+
+    viewer = np.eye(4)
+    viewer[2, 3] = 2.0  # W2C translation: world origin at z=+2 in cam frame
+    img = np.zeros((48, 64, 3))
+    draw_frustums(
+        img, viewer, [kf], fx=60.0, fy=60.0, cx=32.0, cy=24.0,
+        tanfovx=0.5, tanfovy=0.4,
+    )
+    assert img.sum() > 0, "frustum overlay drew nothing"
+    # Behind-camera keyframes are skipped, not crash.
+    kf_behind = np.eye(4)
+    kf_behind[2, 3] = 10.0  # its center sits far behind the viewer
+    img2 = np.zeros((48, 64, 3))
+    draw_frustums(
+        img2, np.eye(4), [kf_behind], fx=60.0, fy=60.0, cx=32.0, cy=24.0,
+        tanfovx=0.5, tanfovy=0.4,
+    )

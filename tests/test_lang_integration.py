@@ -86,3 +86,28 @@ def test_extractor_online_ae_supervision_moves_language_maps():
     err_zero = float(jnp.abs(gt_chw).mean())
     assert np.isfinite(err)
     assert err < 0.8 * err_zero, (err, err_zero)
+
+    # --- Continuous online-AE training cadence (VERDICT r2 #4) ---------
+    # Reference schedule (slam_backend.py:397-407, 562-572, 640-648):
+    # one step per new-KF extraction, one per 5th init iteration, one per
+    # random anti-forgetting keyframe visit (2/mapping iteration). With
+    # init_itr_num=40 the init phase alone contributes 7 replay steps on
+    # top of extraction, so a per-extraction-only codec (the round-2
+    # behavior: exactly n_kf steps) fails this bound.
+    n_kf = len(be.viewpoints)
+    init_steps = len([i for i in range(40) if i % 5 == 0 and i != 0])
+    assert online_ae.step_count >= n_kf + init_steps, (
+        online_ae.step_count, n_kf, init_steps
+    )
+    # Upper bound: extraction + init cadence + 2 visits per mapping
+    # iteration (prune iterations run without lang).
+    max_steps = n_kf + init_steps + 2 * be.iteration_count
+    assert online_ae.step_count <= max_steps, (
+        online_ae.step_count, max_steps
+    )
+    # Codec reconstruction loss decreases across the run.
+    hist = np.asarray([float(x) for x in online_ae.loss_history])
+    assert len(hist) == online_ae.step_count
+    early = hist[: max(3, len(hist) // 5)].mean()
+    late = hist[-max(3, len(hist) // 5):].mean()
+    assert late < early, (early, late)

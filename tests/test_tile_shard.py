@@ -1,0 +1,139 @@
+"""Tile-sharded (band-parallel) render equivalence on the 8-device CPU
+mesh: each chip blends a band of tile rows; outputs and gradients must
+match the single-device Pallas path (VERDICT r2 #6)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from online_lang_splatting_tpu.ops import graphics
+from online_lang_splatting_tpu.ops.raster import RasterSettings
+from online_lang_splatting_tpu.parallel.mesh import make_mesh
+from online_lang_splatting_tpu.parallel.tile_shard import (
+    make_banded_render, make_banded_tracking_run,
+)
+from online_lang_splatting_tpu.slam.renderer import RenderInputs, render
+
+
+def _scene(p=160, lang_dim=8, h=48, w=64, f=40.0, seed=3):
+    rng = np.random.default_rng(seed)
+    inputs = RenderInputs(
+        xyz=jnp.asarray(
+            np.stack([rng.uniform(-1.5, 1.5, p), rng.uniform(-1.0, 1.0, p),
+                      rng.uniform(1.5, 6.0, p)], 1), jnp.float32),
+        opacity=jnp.asarray(rng.uniform(0.2, 0.95, p), jnp.float32),
+        scales=jnp.asarray(rng.uniform(0.02, 0.12, (p, 3)), jnp.float32),
+        quats=jnp.asarray(
+            rng.normal(size=(p, 4))
+            / np.linalg.norm(rng.normal(size=(p, 4)), axis=1, keepdims=True),
+            jnp.float32),
+        shs=jnp.asarray(rng.normal(size=(p, 1, 3)) * 0.3, jnp.float32),
+        language=jnp.asarray(rng.normal(size=(p, lang_dim)) * 0.2, jnp.float32),
+    )
+    # Deterministic quats norm fix (normalize actual sample).
+    q = np.asarray(inputs.quats)
+    inputs = inputs._replace(
+        quats=jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
+    )
+    settings = RasterSettings(
+        image_height=h, image_width=w,
+        tanfovx=w / (2 * f), tanfovy=h / (2 * f),
+        sh_degree=0, backend="tpu", max_instances=8192,
+    )
+    proj = graphics.projection_matrix(0.01, 100.0, w / 2, h / 2, f, f, w, h)
+    view = jnp.eye(4)
+    return inputs, settings, proj, view
+
+
+def test_banded_render_matches_single_device():
+    inputs, settings, proj, view = _scene()
+    mesh = make_mesh(8)
+    banded = make_banded_render(mesh, settings, inputs.language.shape[1])
+
+    ref = render(inputs, view, proj, settings)
+    out = banded(inputs, view, proj)
+
+    np.testing.assert_allclose(
+        np.asarray(out.color), np.asarray(ref.color), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.language), np.asarray(ref.language), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.depth), np.asarray(ref.depth), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out.opacity), np.asarray(ref.opacity), atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(out.n_touched), np.asarray(ref.n_touched))
+    np.testing.assert_array_equal(
+        np.asarray(out.radii), np.asarray(ref.radii))
+    assert not bool(out.overflow)
+
+
+def test_banded_render_gradients_match():
+    inputs, settings, proj, view = _scene()
+    mesh = make_mesh(8)
+    banded = make_banded_render(mesh, settings, inputs.language.shape[1])
+
+    def loss_banded(xyz, opacity, language):
+        out = banded(
+            inputs._replace(xyz=xyz, opacity=opacity, language=language),
+            view, proj)
+        return (out.color.sum() + out.language.sum()
+                + 0.1 * out.depth.sum())
+
+    def loss_single(xyz, opacity, language):
+        out = render(
+            inputs._replace(xyz=xyz, opacity=opacity, language=language),
+            view, proj, settings)
+        return (out.color.sum() + out.language.sum()
+                + 0.1 * out.depth.sum())
+
+    g_b = jax.grad(loss_banded, argnums=(0, 1, 2))(
+        inputs.xyz, inputs.opacity, inputs.language)
+    g_s = jax.grad(loss_single, argnums=(0, 1, 2))(
+        inputs.xyz, inputs.opacity, inputs.language)
+    for a, b in zip(g_b, g_s):
+        scale = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-5)
+
+
+def test_banded_tracking_run_matches_single_device():
+    from online_lang_splatting_tpu.slam.frontend import tracking_run
+
+    inputs, settings, proj, view = _scene()
+    h, w = settings.image_height, settings.image_width
+    rng = np.random.default_rng(7)
+
+    # gt = render from a slightly different pose; start tracking at identity.
+    import online_lang_splatting_tpu.ops.lie as lie
+
+    tau = jnp.asarray([0.01, -0.005, 0.008, 0.004, -0.003, 0.002], jnp.float32)
+    gt_view = lie.se3_exp(tau) @ view
+    gt = render(inputs, gt_view, proj, settings)
+    gt_image = gt.color
+    gt_depth = gt.depth
+    grad_mask = jnp.ones((1, h, w), jnp.float32)
+    lrs = (jnp.float32(0.002), jnp.float32(0.002), jnp.float32(0.01))
+
+    ref = tracking_run(
+        inputs, view, proj, gt_image, gt_depth, grad_mask,
+        jnp.float32(0.0), jnp.float32(0.0), lrs,
+        settings=settings, max_iters=12,
+    )
+    mesh = make_mesh(8)
+    banded_run = make_banded_tracking_run(mesh, settings, max_iters=12)
+    out = banded_run(
+        inputs, view, proj, gt_image, gt_depth, grad_mask,
+        jnp.float32(0.0), jnp.float32(0.0), lrs,
+    )
+
+    # view, ea, eb, n_iters, loss, med, visibility, overflow
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(ref[0]), atol=1e-5)
+    np.testing.assert_allclose(float(out[1]), float(ref[1]), atol=1e-5)
+    np.testing.assert_allclose(float(out[2]), float(ref[2]), atol=1e-5)
+    assert int(out[3]) == int(ref[3])
+    np.testing.assert_allclose(float(out[4]), float(ref[4]), atol=1e-6)
+    np.testing.assert_allclose(float(out[5]), float(ref[5]), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out[6]), np.asarray(ref[6]))
