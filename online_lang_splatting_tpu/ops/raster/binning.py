@@ -9,19 +9,28 @@ dynamic allocations and 64-bit keys we use static capacities and a
 multiple of the blend kernel's chunk size so one grid step never straddles
 two tiles. Empty capacity is marked with Gaussian id -1.
 
-Sort strategy (the round-3 rewrite): instead of sorting S instances by the
-(tile, depth) pair (S ≈ 5–8·P — the dominant cost at scale), the P
-*Gaussians* are depth-sorted first and instances are emitted in that
-order; the instance pass then only needs a sort by (tile, emission index),
-which packs into ONE u32 key (tile in the high bits, instance index in the
-low bits) whenever ceil(log2(num_tiles+1)) + ceil(log2(cap)) <= 32 — true
-for every production configuration. Within a tile, emission order equals
-(depth asc, Gaussian id asc), i.e. exactly the float-bit radix order of
-the reference (positive depths) with its stable tie-break.
+Design rules, measured on hardware (tools/kernel_probe.py): XLA sorts are
+nearly free (~0.7 ms for 1M u32 keys, ~+2 ms per payload operand) while
+random gathers cost ~8-12 ms per million elements — so this pipeline is
+organized to avoid instance-sized gathers entirely:
+
+* The P Gaussians are depth-sorted FIRST (P-sized sort), and instances are
+  emitted in that order; the instance pass then sorts ONE u32 key
+  (tile<<bits | emission index) with the original Gaussian id riding as a
+  sort payload (not gathered afterwards). Within a tile, emission order
+  equals (depth asc, Gaussian id asc) — exactly the reference's float-bit
+  radix order for positive depths with its stable tie-break.
+* The sorted-order → chunk-aligned-slot mapping is a SCATTER (sorted
+  instance i lands at slot i + shift[tile], where shift = cumulative
+  chunk padding — nondecreasing along the sorted order, so it expands with
+  one tiny scatter + cummax), not a slot-sized gather.
+* Per-chunk metadata is computed directly in chunk space (num_chunks
+  elements, ~free).
 
 Everything here is shape-static and jit-compatible; `overflow` reports
-when the capacity was exceeded (results are then truncated and the caller
-should re-jit with a larger `max_instances`).
+when either the instance capacity or the padded slot capacity was
+exceeded (results are then truncated and the caller re-jits with a larger
+`max_instances`).
 """
 
 from __future__ import annotations
@@ -45,6 +54,153 @@ class Binning(NamedTuple):
     overflow: jax.Array      # () bool
 
 
+def slot_capacity(cap: int, num_tiles: int, chunk: int) -> int:
+    """Padded slot capacity for an instance capacity `cap`.
+
+    Worst-case per-tile round-up padding is num_tiles*(chunk-1), but that
+    allowance would nearly double every instance-sized array (and the
+    kernel grid). Real scenes need ~(nonempty_tiles · chunk/2); we
+    allocate cap/2 (min 64 chunks), detect `total_padded > slot_cap` as
+    overflow, and let the caller's grow-and-replay loop handle the rare
+    sparse-scene miss. Rounded so the chunk count is a multiple of 8
+    (blend kernel nt-output blocking)."""
+    pad = min(num_tiles * chunk, max(cap // 2, 64 * chunk))
+    slot_cap = cap + pad
+    return ((slot_cap + 8 * chunk - 1) // (8 * chunk)) * (8 * chunk)
+
+
+class SortedBinning(NamedTuple):
+    """Compact (cap-sized, no slot padding) binning for the segments blend
+    kernel: instances in (tile, depth, id) order; the kernel discovers
+    tile boundaries inside each chunk itself."""
+
+    s_gid: jax.Array     # (cap,) int32 Gaussian id per sorted instance, -1 pad
+    s_tile: jax.Array    # (cap,) int32 tile id (num_tiles sentinel for pad)
+    starts: jax.Array    # (T,) int32 first sorted index of each tile
+    tile_counts: jax.Array  # (T,) int32 real instances per tile
+    cont: jax.Array      # (C,) int32 1 if chunk's last tile continues into
+                         # the next chunk, 0 if not, -1 if chunk has no
+                         # real instances at all
+    num_instances: jax.Array  # () int32
+    overflow: jax.Array       # () bool
+
+
+def _sorted_core(prep: Preprocessed, tiles_x: int, tiles_y: int,
+                 cap: int):
+    """Shared front half of both binning layouts: depth pre-sort,
+    instance expansion, single-u32-key tile sort, per-tile ranges.
+    Returns (s_tile, s_gid, starts, counts, total)."""
+    num_tiles = tiles_x * tiles_y
+    p = prep.depth.shape[0]
+
+    tiles_touched = prep.tiles_touched
+    d_key = jnp.where(tiles_touched > 0, prep.depth, jnp.inf)
+    _, perm = jax.lax.sort(
+        (d_key, jnp.arange(p, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    tt_s = tiles_touched[perm]
+    cum = jnp.cumsum(tt_s)
+    total = cum[-1]
+    offsets = (cum - tt_s).astype(jnp.int32)
+
+    gtab = jnp.stack(
+        [
+            prep.rect_min[:, 0].astype(jnp.float32),
+            prep.rect_min[:, 1].astype(jnp.float32),
+            jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1).astype(
+                jnp.float32
+            ),
+            jnp.arange(p, dtype=jnp.float32),
+        ],
+        axis=1,
+    )
+    gtab_s = jnp.concatenate(
+        [offsets[:, None].astype(jnp.float32), gtab[perm]], axis=1
+    )
+
+    inst = jnp.arange(cap, dtype=jnp.int32)
+    start_idx = jnp.where(tt_s > 0, offsets, cap)
+    vals0 = jnp.full((5, cap), -1.0, jnp.float32).at[:, start_idx].set(
+        gtab_s.T, mode="drop"
+    )
+    rows = jax.lax.associative_scan(
+        lambda a, b: jnp.where(b >= 0.0, b, a), vals0, axis=1
+    ).T
+    local = inst - rows[:, 0].astype(jnp.int32)
+    width = rows[:, 3].astype(jnp.int32)
+    if cap < (1 << 22):
+        ly = jnp.floor(
+            local.astype(jnp.float32) / rows[:, 3]
+        ).astype(jnp.int32)
+        lx = local - ly * width
+    else:
+        ly = local // width
+        lx = local % width
+    tx = rows[:, 1].astype(jnp.int32) + lx
+    ty = rows[:, 2].astype(jnp.int32) + ly
+    tile = ty * tiles_x + tx
+    inst_valid = inst < total
+    tile = jnp.where(inst_valid, tile, num_tiles)
+    orig = jnp.where(inst_valid, rows[:, 4].astype(jnp.int32), -1)
+
+    inst_bits = max((cap - 1).bit_length(), 1)
+    if num_tiles + 1 <= (1 << (32 - inst_bits)):
+        key = (
+            tile.astype(jnp.uint32) << inst_bits
+        ) | inst.astype(jnp.uint32)
+        s_key, s_gid = jax.lax.sort((key, orig), num_keys=1)
+        s_tile = (s_key >> inst_bits).astype(jnp.int32)
+    else:
+        s_tile, _, s_gid = jax.lax.sort((tile, inst, orig), num_keys=2)
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(s_tile, tile_ids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(s_tile, tile_ids, side="right").astype(jnp.int32)
+    counts = ends - starts
+    return s_tile, s_gid, starts, counts, total
+
+
+def bin_gaussians_sorted(
+    prep: Preprocessed,
+    *,
+    tiles_x: int,
+    tiles_y: int,
+    max_instances: int,
+    chunk: int = 256,
+) -> SortedBinning:
+    """Compact binning (see SortedBinning). `max_instances` must be a
+    multiple of 8*chunk (callers round up)."""
+    num_tiles = tiles_x * tiles_y
+    cap = max_instances
+    assert cap % (8 * chunk) == 0, (cap, chunk)
+    num_chunks = cap // chunk
+
+    s_tile, s_gid, starts, counts, total = _sorted_core(
+        prep, tiles_x, tiles_y, cap
+    )
+
+    bounds = jnp.arange(1, num_chunks + 1, dtype=jnp.int32) * chunk
+    last_in = s_tile[jnp.minimum(bounds - 1, cap - 1)]
+    next_in = s_tile[jnp.minimum(bounds, cap - 1)]
+    cont = jnp.where(
+        (bounds < cap) & (last_in == next_in) & (last_in < num_tiles), 1, 0
+    )
+    # -1 marks chunks with no real instances (their first tile is the
+    # sentinel) so kernels can skip their block fetches entirely.
+    first_in = s_tile[bounds - chunk]
+    cont = jnp.where(first_in >= num_tiles, -1, cont)
+
+    return SortedBinning(
+        s_gid=s_gid,
+        s_tile=s_tile,
+        starts=starts,
+        tile_counts=counts,
+        cont=cont.astype(jnp.int32),
+        num_instances=total.astype(jnp.int32),
+        overflow=total > cap,
+    )
+
+
 def bin_gaussians(
     prep: Preprocessed,
     *,
@@ -54,137 +210,67 @@ def bin_gaussians(
     chunk: int = 128,
 ) -> Binning:
     num_tiles = tiles_x * tiles_y
-    p = prep.depth.shape[0]
     cap = max_instances
-    # Slot capacity covers worst-case per-tile round-up padding; rounded so
-    # the chunk count is a multiple of 8 (blend kernel output blocking).
-    slot_cap = cap + num_tiles * chunk
-    slot_cap = ((slot_cap + 8 * chunk - 1) // (8 * chunk)) * (8 * chunk)
+    slot_cap = slot_capacity(cap, num_tiles, chunk)
     num_chunks = slot_cap // chunk
 
-    tiles_touched = prep.tiles_touched
-
-    # ---- Depth pre-sort of the P Gaussians (P-sized — ~5-8x smaller than
-    # the instance sort it lets us avoid). Stable sort on depth keeps the
-    # reference tie-break (ascending Gaussian id).
-    d_key = jnp.where(tiles_touched > 0, prep.depth, jnp.inf)
-    _, perm = jax.lax.sort(
-        (d_key, jnp.arange(p, dtype=jnp.int32)), num_keys=1, is_stable=True
+    s_tile, s_gid, starts, counts, total = _sorted_core(
+        prep, tiles_x, tiles_y, cap
     )
-    tt_s = tiles_touched[perm]
-    cum = jnp.cumsum(tt_s)
-    total = cum[-1]
-    offsets = (cum - tt_s).astype(jnp.int32)  # exclusive, sorted space
-
-    # One wide-row gather of everything the expansion needs (separate
-    # column gathers each pay full random-access cost). f32 holds these
-    # ints exactly (all < 2^24).
-    gtab = jnp.stack(
-        [
-            prep.rect_min[:, 0].astype(jnp.float32),
-            prep.rect_min[:, 1].astype(jnp.float32),
-            jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1).astype(
-                jnp.float32
-            ),
-            jnp.arange(p, dtype=jnp.float32),  # original Gaussian id
-        ],
-        axis=1,
-    )
-    gtab_s = jnp.concatenate(
-        [offsets[:, None].astype(jnp.float32), gtab[perm]], axis=1
-    )  # (P, 5): offset, rect_min_x, rect_min_y, rect_w, orig_id
-
-    # Expand instances: instance i belongs to sorted-Gaussian g(i). A
-    # searchsorted over millions of instances costs ~log(P) random gathers
-    # each; instead scatter each Gaussian's position at its first instance
-    # slot and take a running max — one scatter of P values + one
-    # associative scan.
     inst = jnp.arange(cap, dtype=jnp.int32)
-    start_marks = jnp.full((cap,), -1, jnp.int32).at[
-        jnp.where(tt_s > 0, offsets, cap)
-    ].max(jnp.arange(p, dtype=jnp.int32), mode="drop")
-    gid_c = jnp.maximum(jax.lax.cummax(start_marks), 0)  # sorted positions
-    rows = gtab_s[gid_c]
-    local = inst - rows[:, 0].astype(jnp.int32)
-    width = rows[:, 3].astype(jnp.int32)
-    tx = rows[:, 1].astype(jnp.int32) + local % width
-    ty = rows[:, 2].astype(jnp.int32) + local // width
-    tile = ty * tiles_x + tx
     inst_valid = inst < total
-    tile = jnp.where(inst_valid, tile, num_tiles)
-    orig = rows[:, 4].astype(jnp.int32)  # original Gaussian id per instance
-
-    # Sort instances by tile, stable in emission (= depth) order. When
-    # tile and emission index pack into 32 bits this is ONE u32 key with
-    # no payload — far cheaper than a multi-operand sort.
-    inst_bits = max((cap - 1).bit_length(), 1)
-    if num_tiles + 1 <= (1 << (32 - inst_bits)):
-        key = (
-            tile.astype(jnp.uint32) << inst_bits
-        ) | inst.astype(jnp.uint32)
-        (s_key,) = jax.lax.sort((key,), num_keys=1)
-        s_tile = (s_key >> inst_bits).astype(jnp.int32)
-        s_inst = (s_key & jnp.uint32((1 << inst_bits) - 1)).astype(jnp.int32)
-    else:  # huge-capacity fallback: distinct (tile, inst) pairs — a 2-key
-        # sort is a total order, identical result.
-        s_tile, s_inst = jax.lax.sort((tile, inst), num_keys=2)
-    s_gid = orig[s_inst]
-
-    # Per-tile ranges in the sorted instance array.
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(s_tile, tile_ids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(s_tile, tile_ids, side="right").astype(jnp.int32)
-    counts = ends - starts
 
-    # Chunk-aligned slot layout.
+    # Chunk-aligned slot layout: sorted instance i lands at slot
+    # i + shift[tile(i)], where shift[t] = pstarts[t] - starts[t] is the
+    # cumulative chunk padding of earlier tiles — nonnegative and
+    # NONDECREASING in t, so its per-instance expansion is one tiny
+    # scatter + cummax, and the slot array is built by ONE scatter.
     padded = ((counts + chunk - 1) // chunk) * chunk
     pcum = jnp.cumsum(padded)
     total_padded = pcum[-1]
-    pstarts = pcum - padded
+    pstarts = (pcum - padded).astype(jnp.int32)
 
-    slot = jnp.arange(slot_cap, dtype=jnp.int32)
-    # Expand per-tile quantities to slots with the same scatter+scan trick
-    # as the gaussian-id expansion above. tile id, sorted-range start,
-    # padded start, and data end are all nondecreasing along slots, so a
-    # running max after scattering at each tile's first slot reconstructs
-    # them without any large gathers.
-    scatter_idx = jnp.where(padded > 0, pstarts, slot_cap)
-    # All four expansions ride ONE scatter + ONE cummax over a (4, S) batch.
-    vals = jnp.stack(
-        [
-            tile_ids, starts, pstarts.astype(jnp.int32),
-            (pstarts + counts).astype(jnp.int32),
-        ],
-        axis=0,
+    shift_t = pstarts - starts
+    shift_marks = jnp.full((cap,), -1, jnp.int32).at[
+        jnp.where(counts > 0, starts, cap)
+    ].max(shift_t, mode="drop")
+    shift = jnp.maximum(jax.lax.cummax(shift_marks), 0)
+    dst = jnp.where(inst_valid, inst + shift, slot_cap)
+    point_list = jnp.full((slot_cap,), -1, jnp.int32).at[dst].set(
+        s_gid, mode="drop"
     )
-    marks = jnp.full((4, slot_cap), -1, jnp.int32).at[:, scatter_idx].max(
-        vals, mode="drop"
-    )
-    expanded = jnp.maximum(jax.lax.cummax(marks, axis=1), 0)
-    slot_tile, slot_start, slot_pstart, slot_data_end = expanded
-    l = slot - slot_pstart
-    slot_ok = (slot < total_padded) & (slot < slot_data_end)
-    src = jnp.minimum(slot_start + l, cap - 1)
-    point_list = jnp.where(slot_ok, s_gid[src], -1)
-    slot_tile = jnp.where(slot < total_padded, slot_tile, num_tiles)
 
-    chunk_start_slot = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
-    chunk_tile = slot_tile[chunk_start_slot]
+    # Per-chunk metadata, computed directly in chunk space (~free).
+    chunk_idx = jnp.arange(num_chunks, dtype=jnp.int32)
+    chunk_start_slot = chunk_idx * chunk
+    first_chunk = pstarts // chunk
+    ct_marks = jnp.full((num_chunks,), -1, jnp.int32).at[
+        jnp.where(counts > 0, first_chunk, num_chunks)
+    ].max(tile_ids, mode="drop")
+    chunk_tile = jnp.maximum(jax.lax.cummax(ct_marks), 0)
+    chunk_valid = chunk_start_slot < total_padded
     chunk_tile_c = jnp.minimum(chunk_tile, num_tiles - 1)
-    chunk_valid = chunk_tile < num_tiles
     chunk_first = (
         chunk_valid & (chunk_start_slot == pstarts[chunk_tile_c])
     ).astype(jnp.int32)
     chunk_last = (
         chunk_valid
-        & (chunk_start_slot + chunk == pstarts[chunk_tile_c] + padded[chunk_tile_c])
+        & (chunk_start_slot + chunk
+           == pstarts[chunk_tile_c] + padded[chunk_tile_c])
     ).astype(jnp.int32)
+    chunk_tile = jnp.where(chunk_valid, chunk_tile, num_tiles)
+
+    # Broadcast, not jnp.repeat: repeat lowers to a slot-sized gather.
+    slot_tile = jnp.broadcast_to(
+        chunk_tile[:, None], (num_chunks, chunk)
+    ).reshape(slot_cap)
 
     overflow = (total > cap) | (total_padded > slot_cap)
     return Binning(
-        point_list=point_list.astype(jnp.int32),
+        point_list=point_list,
         slot_tile=slot_tile,
-        chunk_tile=jnp.where(chunk_valid, chunk_tile, num_tiles).astype(jnp.int32),
+        chunk_tile=chunk_tile.astype(jnp.int32),
         chunk_first=chunk_first,
         chunk_last=chunk_last,
         tile_counts=counts,

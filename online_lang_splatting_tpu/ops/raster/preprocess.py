@@ -56,10 +56,20 @@ def quat_to_rotmat(q: jax.Array) -> jax.Array:
 
 
 def compute_cov3d(scales: jax.Array, scale_modifier: float, quats: jax.Array) -> jax.Array:
-    """World covariance Sigma = R S^2 R^T; returns (P, 3, 3)."""
+    """World covariance Sigma = R S^2 R^T; returns (P, 3, 3).
+
+    Written as explicit elementwise algebra: batched (P,3,3) einsums lower
+    to P tiny matmuls, which the MXU cannot tile — measured ~6x slower
+    than this VPU form at P=200k (tools/kernel_probe.py)."""
     r = quat_to_rotmat(quats)
-    m = r * (scale_modifier * scales)[..., None, :]  # columns scaled: R @ S
-    return jnp.einsum("...ij,...kj->...ik", m, m)  # M M^T
+    s2 = jnp.square(scale_modifier * scales)  # (P, 3)
+    # Sigma_ik = sum_j r_ij * s2_j * r_kj — expand over the fixed j axis.
+    rs = r * s2[..., None, :]
+    return (
+        rs[..., :, 0:1] * r[..., None, :, 0]
+        + rs[..., :, 1:2] * r[..., None, :, 1]
+        + rs[..., :, 2:3] * r[..., None, :, 2]
+    )
 
 
 def compute_cov2d(
@@ -82,20 +92,37 @@ def compute_cov2d(
     tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
     ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
 
-    # J rows: d(pix)/d(view) for the two image axes (third row zero).
-    zero = jnp.zeros_like(tz)
-    j = jnp.stack(
-        [
-            jnp.stack([focal_x / tz, zero, -(focal_x * tx) / (tz * tz)], -1),
-            jnp.stack([zero, focal_y / tz, -(focal_y * ty) / (tz * tz)], -1),
-        ],
-        -2,
-    )  # (P, 2, 3)
-    jw = j @ viewmatrix[:3, :3]  # (P, 2, 3): J @ W
-    cov2d = jw @ cov3d @ jnp.swapaxes(jw, -1, -2)  # (P, 2, 2)
+    # J @ W has rows jw0 = a·w0 + c·w2 and jw1 = b·w1 + d·w2 where w_i are
+    # the (constant) view-rotation rows. Expanding jw Σ jwᵀ over the six
+    # constant-row bilinear forms s_ij = w_i Σ w_jᵀ keeps everything
+    # elementwise over the Gaussian axis — batched (P,2,3)·(P,3,3) einsums
+    # lower to P tiny matmuls the MXU cannot tile (~6x slower at P=200k,
+    # tools/kernel_probe.py).
+    a = focal_x / tz
+    b = focal_y / tz
+    c = -(focal_x * tx) / (tz * tz)
+    d = -(focal_y * ty) / (tz * tz)
+    w_rows = viewmatrix[:3, :3]
+
+    def bilinear(i, j):
+        wi, wj = w_rows[i], w_rows[j]
+        acc = 0.0
+        for k in range(3):
+            for l in range(3):
+                acc = acc + (wi[k] * wj[l]) * cov3d[..., k, l]
+        return acc
+
+    s00 = bilinear(0, 0)
+    s01 = bilinear(0, 1)
+    s02 = bilinear(0, 2)
+    s11 = bilinear(1, 1)
+    s12 = bilinear(1, 2)
+    s22 = bilinear(2, 2)
+    cov_xx = a * a * s00 + 2.0 * a * c * s02 + c * c * s22
+    cov_xy = a * b * s01 + a * d * s02 + c * b * s12 + c * d * s22
+    cov_yy = b * b * s11 + 2.0 * b * d * s12 + d * d * s22
     return jnp.stack(
-        [cov2d[..., 0, 0] + C.LOWPASS, cov2d[..., 0, 1], cov2d[..., 1, 1] + C.LOWPASS],
-        -1,
+        [cov_xx + C.LOWPASS, cov_xy, cov_yy + C.LOWPASS], -1
     )
 
 

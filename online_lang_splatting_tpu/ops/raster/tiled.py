@@ -4,24 +4,32 @@ TPU-first redesign of the reference CUDA blend kernels
 (`language_renderCUDA` forward, forward.cu:377-513; blend backward,
 backward.cu:707-1203). Key design decisions, none of which mirror CUDA:
 
-* The grid is a **flat sequence of instance chunks** (128 sorted
-  Gaussian-instances each), chunk-aligned per tile by the binning pass.
-  TPU grids execute sequentially on a core, so per-tile compositing state
-  (transmittance T, done mask, accumulators) carries across grid steps in
-  VMEM scratch / the revisited output block; Pallas double-buffers the
-  HBM→VMEM instance streaming automatically via BlockSpecs. No atomics,
-  no shared-memory staging, no warp reductions.
+* Instance arrays stay in COMPACT (tile, depth)-sorted order — no
+  chunk-aligned slot padding. The grid is a flat sequence of 256-instance
+  chunks of the sorted array; each grid step discovers the tile SEGMENTS
+  inside its chunk (usually one; more when tile boundaries cross it) and
+  composites each against its own tile's pixel block. Keeping S == cap
+  (instead of cap + per-tile padding) shrinks every instance-sized
+  pack/gather/scatter and the grid itself by ~30-50% — on this hardware
+  those data movements, not the VPU math, dominate (tools/kernel_probe.py).
 
-* Within a chunk, compositing is **vectorized, not sequential**: alpha for
-  all 128 instances × 256 pixels at once, exclusive-prefix transmittance
-  via a strictly-lower-triangular matmul in log space (MXU), early-stop
-  via a triangular cummax. Channel accumulation is one (F×128)·(128×256)
-  matmul per chunk — RGB + language + depth ride the MXU together.
+* Per-tile compositing state (transmittance T, done mask, accumulators)
+  carries across grid steps in VMEM scratch; completed tiles are flushed
+  to an ANY-memory (HBM) output with an explicit async DMA (staged, waits
+  deferred to the next flush). TPU grids execute sequentially on a core,
+  so no atomics, no shared-memory staging, no warp reductions.
+
+* Within a segment, compositing is **vectorized, not sequential**: alpha
+  for all 256 instances × 256 pixels at once, exclusive-prefix
+  transmittance via Hillis-Steele shifts (exact f32), early-stop via a
+  prefix max. Channel accumulation is one (F×256)·(256×256) matmul per
+  segment — RGB + language + depth ride the MXU together.
 
 * The backward runs **forward** over the same chunk sequence: the suffix
   sums the CUDA back-to-front rewalk needs are obtained as
   (total − forward prefix), with the totals taken from the saved forward
-  outputs. No reverse iteration, no T/(1-alpha) divisions.
+  outputs (DMA'd in per tile). No reverse iteration, no T/(1-alpha)
+  divisions.
 
 Per-Gaussian gradients leave the kernel per-instance and are segment-summed
 outside (XLA scatter-add), mirroring gather/scatter duality.
@@ -43,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import config as C
-from .binning import Binning, bin_gaussians
+from .binning import SortedBinning, bin_gaussians_sorted
 from .preprocess import Preprocessed
 
 CHUNK = 256
@@ -108,10 +116,13 @@ def _pixel_coords(tile_id, tiles_x: int, tile: int, pix: int):
     return px.astype(jnp.float32), py.astype(jnp.float32), in_tile
 
 
-def _chunk_alpha(geom, tile_id, tiles_x: int, tile: int, pix: int):
+def _chunk_alpha(geom, tile_id, tiles_x: int, tile: int, pix: int,
+                 row_lo=None, row_hi=None):
     """Shared fwd/bwd per-chunk alpha computation.
 
-    geom: (GEOM_ROWS, CHUNK). Returns dict of (CHUNK, pix)/(CHUNK, 1) arrays.
+    geom: (GEOM_ROWS, CHUNK). With row_lo/row_hi, rows outside
+    [row_lo, row_hi) are masked out (segment restriction).
+    Returns dict of (CHUNK, pix)/(CHUNK, 1) arrays.
     """
     gt = geom.T  # (CHUNK, GEOM_ROWS)
     x, y = gt[:, 0:1], gt[:, 1:2]
@@ -126,6 +137,9 @@ def _chunk_alpha(geom, tile_id, tiles_x: int, tile: int, pix: int):
     alpha_raw = op * jnp.exp(power)
     alpha_cl = jnp.minimum(C.ALPHA_MAX, alpha_raw)
     skip = (power > 0.0) | (alpha_cl < C.ALPHA_MIN) | ~gvalid
+    if row_lo is not None:
+        rows = _row_iota((CHUNK, 1))
+        skip = skip | (rows < row_lo) | (rows >= row_hi)
     alpha = jnp.where(skip, 0.0, alpha_cl)
     return dict(
         alpha=alpha, skip=skip, power=power, alpha_raw=alpha_raw,
@@ -157,168 +171,248 @@ def _composite(alpha, skip, t_prev, done_prev):
     return cum_t, test_t, contrib, w, t_new, done_new
 
 
+def _seg_bounds(tiles, lane, j0, num_tiles: int):
+    """Find the segment [j0, j1) and its tile at row j0. tiles/lane are
+    (1, CHUNK) i32. Returns (t, j1) scalars; t == num_tiles when no real
+    instance remains in the chunk."""
+    after = lane >= j0
+    t = jnp.min(jnp.where(after, tiles, num_tiles))
+    j1 = jnp.min(jnp.where(after & (tiles != t), lane, CHUNK))
+    return t, j1
+
+
 def _fwd_kernel(
     # scalar prefetch
-    ct_ref, cf_ref, cl_ref, lim_ref,
+    st_ref, ct_ref, lim_ref,
     # inputs
-    geom_ref, feat_ref,
+    geom_ref, feat_ref, tile_ref,
     # outputs
     acc_ref, nt_ref,
     # scratch
-    t_s, done_s, acc_s, nt_s, nc_s, off_s,
+    t_s, done_s, acc_s, stage_s, nt_s, nc_s, meta_s, sem,
     *, tiles_x: int, num_tiles: int, tile: int, pix: int, f_pad: int,
-    f_out: int, width: int, height: int,
+    f_out: int, width: int, num_chunks: int,
 ):
-    # NOTE on buffering: Pallas double-buffers output blocks, and with
-    # scalar-prefetch-driven index maps it cannot prove consecutive steps
-    # revisit the same block — so accumulating *into* an output ref reads
-    # the stale sibling buffer. All cross-chunk state therefore lives in
-    # VMEM scratch, and every output block is written exactly once (at the
-    # tile's last chunk / the nt block's last row).
     c = pl.program_id(0)
-    tile_id = ct_ref[c]
-    active = tile_id < num_tiles
+    base = c * CHUNK
     nt_row = jax.lax.rem(c, NT_ROWS)
+    nt_s[pl.ds(nt_row, 1), :] = jnp.zeros((1, CHUNK), jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    lim = lim_ref[0].astype(jnp.float32)
 
-    @pl.when(cf_ref[c] == 1)
-    def _():
-        acc_s[...] = jnp.zeros_like(acc_s)
-        t_s[...] = jnp.ones_like(t_s)
-        done_s[...] = jnp.zeros_like(done_s)
-        nc_s[...] = jnp.zeros_like(nc_s)
-        off_s[0, 0] = 0
+    def flush_wait():
+        # Wait out the previously started tile flush (if any) before the
+        # stage buffer is reused / the kernel ends.
+        @pl.when(meta_s[0] == 1)
+        def _():
+            pltpu.make_async_copy(
+                stage_s, acc_ref.at[meta_s[1]], sem
+            ).wait()
+            meta_s[0] = 0
 
-    @pl.when(active)
+    @pl.when(ct_ref[c] >= 0)
     def _():
-        a = _chunk_alpha(geom_ref[...], tile_id, tiles_x, tile, pix)
-        cum_t, test_t, contrib, w, t_new, done_new = _composite(
-            a["alpha"], a["skip"], t_s[...], done_s[...]
-        )
-        acc_s[...] += jax.lax.dot_general(
-            feat_ref[...], w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        # py limit is DYNAMIC (scalar prefetch): a band-parallel caller
-        # renders a band_h-tall strip whose valid-row count depends on the
-        # band index (parallel/tile_shard.py); single-device callers pass
-        # the static image height.
-        pix_ok = (
-            a["in_tile"] & (a["px"] < width)
-            & (a["py"] < lim_ref[0].astype(jnp.float32))
-        )
-        touched = contrib & (test_t > C.N_TOUCHED_T) & pix_ok
-        nt_s[pl.ds(nt_row, 1), :] = jnp.sum(
-            touched, axis=1, dtype=jnp.int32
-        ).reshape(1, CHUNK)
-        # last-contributor index within the tile's instance sequence
-        # (1-based, 0 = no contributor) — the CUDA kernels' n_contrib.
-        glob = (
-            _row_iota(contrib.shape) + 1 + off_s[0, 0]
-        ).astype(jnp.float32)
-        cand = jnp.max(
-            jnp.where(contrib, glob, 0.0), axis=0, keepdims=True
-        )
-        nc_s[...] = jnp.maximum(nc_s[...], cand)
-        off_s[0, 0] = off_s[0, 0] + CHUNK
-        t_s[...] = t_new
-        done_s[...] = done_new
+        tiles = tile_ref[...]  # (1, CHUNK)
 
-    @pl.when(~active)
-    def _():
-        nt_s[pl.ds(nt_row, 1), :] = jnp.zeros((1, CHUNK), jnp.int32)
+        def body(j0):
+            t, j1 = _seg_bounds(tiles, lane, j0, num_tiles)
 
-    @pl.when(cl_ref[c] == 1)
-    def _():
-        # final_T rides as channel row f_out of the accumulator tile and
-        # n_contrib as row f_out+1.
-        acc_s[pl.ds(f_out, 1), :] = t_s[...]
-        acc_s[pl.ds(f_out + 1, 1), :] = nc_s[...]
-        acc_ref[...] = acc_s[...][None]
+            def process():
+                t_start = st_ref[t]
+
+                @pl.when(base + j0 == t_start)
+                def _():
+                    acc_s[...] = jnp.zeros_like(acc_s)
+                    t_s[...] = jnp.ones_like(t_s)
+                    done_s[...] = jnp.zeros_like(done_s)
+                    nc_s[...] = jnp.zeros_like(nc_s)
+
+                a = _chunk_alpha(
+                    geom_ref[...], t, tiles_x, tile, pix,
+                    row_lo=j0, row_hi=j1,
+                )
+                cum_t, test_t, contrib, w, t_new, done_new = _composite(
+                    a["alpha"], a["skip"], t_s[...], done_s[...]
+                )
+                acc_s[...] += jax.lax.dot_general(
+                    feat_ref[...], w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                # py limit is DYNAMIC (scalar prefetch): a band-parallel
+                # caller renders a strip whose valid-row count depends on
+                # the band index (parallel/tile_shard.py); single-device
+                # callers pass the static image height.
+                pix_ok = (
+                    a["in_tile"] & (a["px"] < width) & (a["py"] < lim)
+                )
+                touched = contrib & (test_t > C.N_TOUCHED_T) & pix_ok
+                nt_s[pl.ds(nt_row, 1), :] += jnp.sum(
+                    touched, axis=1, dtype=jnp.int32
+                ).reshape(1, CHUNK)
+                # last-contributor index within the tile's instance
+                # sequence (1-based, 0 = none) — the CUDA kernels'
+                # n_contrib (forward.cu:515-644).
+                glob = (
+                    _row_iota(contrib.shape) + 1 + (base - t_start)
+                ).astype(jnp.float32)
+                cand = jnp.max(
+                    jnp.where(contrib, glob, 0.0), axis=0, keepdims=True
+                )
+                nc_s[...] = jnp.maximum(nc_s[...], cand)
+                t_s[...] = t_new
+                done_s[...] = done_new
+
+                # The tile is complete when the segment ends inside the
+                # chunk (sorted order: it never reappears), or at the
+                # chunk's end unless it continues into the next chunk.
+                finished = (j1 < CHUNK) | (ct_ref[c] == 0)
+
+                @pl.when(finished)
+                def _():
+                    # final_T rides as channel row f_out of the flushed
+                    # tile and n_contrib as row f_out+1.
+                    acc_s[pl.ds(f_out, 1), :] = t_s[...]
+                    acc_s[pl.ds(f_out + 1, 1), :] = nc_s[...]
+                    flush_wait()
+                    stage_s[...] = acc_s[...]
+                    pltpu.make_async_copy(
+                        stage_s, acc_ref.at[t], sem
+                    ).start()
+                    meta_s[0] = 1
+                    meta_s[1] = t
+
+                return j1
+
+            return jax.lax.cond(
+                t < num_tiles, process, lambda: jnp.int32(CHUNK)
+            )
+
+        jax.lax.while_loop(
+            lambda j: j < CHUNK, lambda j: body(j), jnp.int32(0)
+        )
 
     @pl.when(nt_row == NT_ROWS - 1)
     def _():
         nt_ref[...] = nt_s[...]
 
+    @pl.when(c == num_chunks - 1)
+    def _():
+        flush_wait()
+
 
 def _bwd_kernel(
-    ct_ref, cf_ref, cl_ref, lim_ref,
-    geom_ref, feat_ref, gacc_ref, acc_res_ref,
+    st_ref, ct_ref, lim_ref,
+    geom_ref, feat_ref, tile_ref, gacc_ref, acc_res_ref,
     dgeom_ref, dfeat_ref,
-    t_s, done_s, carry_ref,
+    t_s, done_s, carry_s, g_s, ar_s, dg_s, df_s, sem,
     *, tiles_x: int, num_tiles: int, tile: int, pix: int, f_pad: int,
-    f_out: int, width: int, height: int,
+    f_out: int, width: int, num_chunks: int,
 ):
     c = pl.program_id(0)
-    tile_id = ct_ref[c]
-    active = tile_id < num_tiles
+    base = c * CHUNK
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    dg_s[...] = jnp.zeros_like(dg_s)
+    df_s[...] = jnp.zeros_like(df_s)
 
-    @pl.when(cf_ref[c] == 1)
+    @pl.when(ct_ref[c] >= 0)
     def _():
-        t_s[...] = jnp.ones_like(t_s)
-        done_s[...] = jnp.zeros_like(done_s)
-        # total_S = sum_f g_f * A_f (per pixel) — row f_out holds
-        # (T_end, gT_end), so the final-transmittance term is included.
-        carry_ref[...] = jnp.sum(
-            gacc_ref[0] * acc_res_ref[0], axis=0, keepdims=True
+        tiles = tile_ref[...]
+
+        def body(j0):
+            t, j1 = _seg_bounds(tiles, lane, j0, num_tiles)
+
+            def process():
+                t_start = st_ref[t]
+
+                @pl.when(base + j0 == t_start)
+                def _():
+                    # New tile: pull its image cotangent + saved forward
+                    # accumulator from HBM.
+                    cp_g = pltpu.make_async_copy(
+                        gacc_ref.at[t], g_s, sem
+                    )
+                    cp_g.start()
+                    cp_g.wait()
+                    cp_a = pltpu.make_async_copy(
+                        acc_res_ref.at[t], ar_s, sem
+                    )
+                    cp_a.start()
+                    cp_a.wait()
+                    t_s[...] = jnp.ones_like(t_s)
+                    done_s[...] = jnp.zeros_like(done_s)
+                    # total_S = sum_f g_f * A_f (per pixel) — row f_out
+                    # holds (T_end, gT_end), so the final-transmittance
+                    # term is included.
+                    carry_s[...] = jnp.sum(
+                        g_s[...] * ar_s[...], axis=0, keepdims=True
+                    )
+
+                a = _chunk_alpha(
+                    geom_ref[...], t, tiles_x, tile, pix,
+                    row_lo=j0, row_hi=j1,
+                )
+                alpha, skip = a["alpha"], a["skip"]
+                cum_t, test_t, contrib, w, t_new, done_new = _composite(
+                    alpha, skip, t_s[...], done_s[...]
+                )
+                g_img = g_s[...]  # (f_pad, pix)
+                # G_j[p] = sum_f feat[f, j] * g[f, p]
+                gdot = jax.lax.dot_general(
+                    feat_ref[...], g_img, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (CHUNK, pix)
+                wg = w * gdot
+                prefix_incl = _prefix_sum_incl(wg)
+                suffix = carry_s[...] - prefix_incl  # future wG + T·gT
+                dalpha = jnp.where(
+                    contrib, cum_t * gdot - suffix / (1.0 - alpha), 0.0
+                )
+                not_clamped = a["alpha_raw"] < C.ALPHA_MAX
+                dpower = jnp.where(not_clamped, dalpha * alpha, 0.0)
+                expp = jnp.exp(a["power"])
+                dop = jnp.sum(
+                    jnp.where(not_clamped, dalpha * expp, 0.0), axis=1
+                )
+                dx, dy = a["dx"], a["dy"]
+                gt = geom_ref[...].T
+                ca, cb, cc = gt[:, 2:3], gt[:, 3:4], gt[:, 4:5]
+                dca = jnp.sum(dpower * (-0.5) * dx * dx, axis=1)
+                dcb = jnp.sum(dpower * (-dx * dy), axis=1)
+                dcc = jnp.sum(dpower * (-0.5) * dy * dy, axis=1)
+                dxg = jnp.sum(dpower * (-(ca * dx + cb * dy)), axis=1)
+                dyg = jnp.sum(dpower * (-(cc * dy + cb * dx)), axis=1)
+                zeros = jnp.zeros_like(dop)
+                dg_s[...] += jnp.stack(
+                    [dxg, dyg, dca, dcb, dcc, dop, zeros, zeros], axis=0
+                )
+                df_s[...] += jax.lax.dot_general(
+                    g_img, w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (f_pad, CHUNK)
+                carry_s[...] = carry_s[...] - jnp.sum(
+                    wg, axis=0, keepdims=True
+                )
+                t_s[...] = t_new
+                done_s[...] = done_new
+                return j1
+
+            return jax.lax.cond(
+                t < num_tiles, process, lambda: jnp.int32(CHUNK)
+            )
+
+        jax.lax.while_loop(
+            lambda j: j < CHUNK, lambda j: body(j), jnp.int32(0)
         )
 
-    dgeom = jnp.zeros((CHUNK, GEOM_ROWS), jnp.float32)
-    dfeat = jnp.zeros((f_pad, CHUNK), jnp.float32)
-
-    @pl.when(active)
-    def _():
-        a = _chunk_alpha(geom_ref[...], tile_id, tiles_x, tile, pix)
-        alpha, skip = a["alpha"], a["skip"]
-        cum_t, test_t, contrib, w, t_new, done_new = _composite(
-            alpha, skip, t_s[...], done_s[...]
-        )
-        g_img = gacc_ref[0]  # (f_pad, pix)
-        # G_j[p] = sum_f feat[f, j] * g[f, p]
-        gdot = jax.lax.dot_general(
-            feat_ref[...], g_img, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (CHUNK, pix)
-        wg = w * gdot
-        prefix_incl = _prefix_sum_incl(wg)
-        suffix = carry_ref[...] - prefix_incl  # S_j = future wG + T_end*gT_end
-        dalpha = jnp.where(
-            contrib, cum_t * gdot - suffix / (1.0 - alpha), 0.0
-        )
-        not_clamped = a["alpha_raw"] < C.ALPHA_MAX
-        dpower = jnp.where(not_clamped, dalpha * alpha, 0.0)
-        expp = jnp.exp(a["power"])
-        dop = jnp.sum(jnp.where(not_clamped, dalpha * expp, 0.0), axis=1)
-        dx, dy = a["dx"], a["dy"]
-        gt = geom_ref[...].T
-        ca, cb, cc = gt[:, 2:3], gt[:, 3:4], gt[:, 4:5]
-        dca = jnp.sum(dpower * (-0.5) * dx * dx, axis=1)
-        dcb = jnp.sum(dpower * (-dx * dy), axis=1)
-        dcc = jnp.sum(dpower * (-0.5) * dy * dy, axis=1)
-        dxg = jnp.sum(dpower * (-(ca * dx + cb * dy)), axis=1)
-        dyg = jnp.sum(dpower * (-(cc * dy + cb * dx)), axis=1)
-        zeros = jnp.zeros_like(dop)
-        dg = jnp.stack([dxg, dyg, dca, dcb, dcc, dop, zeros, zeros], axis=1)
-        df = jax.lax.dot_general(
-            g_img, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (f_pad, CHUNK)
-        dgeom_ref[...] = dg.T
-        dfeat_ref[...] = df
-        carry_ref[...] = carry_ref[...] - jnp.sum(wg, axis=0, keepdims=True)
-        t_s[...] = t_new
-        done_s[...] = done_new
-
-    @pl.when(~active)
-    def _():
-        dgeom_ref[...] = dgeom.T
-        dfeat_ref[...] = dfeat
+    dgeom_ref[...] = dg_s[...]
+    dfeat_ref[...] = df_s[...]
 
 
 class _BlendAux(NamedTuple):
-    binning: Binning
+    binning: SortedBinning
     tiles_x: int
     tiles_y: int
     tile: int
@@ -357,43 +451,51 @@ def _pack_instances(xy, conic, opacity, color, lang, depth, point_list):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
-def _blend_core(xy, conic, opacity, color, lang, depth, point_list, chunk_tile,
-                chunk_first, chunk_last, tile_counts, py_limit,
-                tile, width, height):
+def _blend_core(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
+                starts, cont, tile_counts, py_limit, tile, width, height):
     out, _ = _blend_fwd_impl(
-        xy, conic, opacity, color, lang, depth, point_list, chunk_tile,
-        chunk_first, chunk_last, tile_counts, py_limit, tile, width, height
+        xy, conic, opacity, color, lang, depth, s_gid, s_tile,
+        starts, cont, tile_counts, py_limit, tile, width, height
     )
     return out
 
 
-def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, point_list,
-                    chunk_tile, chunk_first, chunk_last, tile_counts,
-                    py_limit, tile, width, height):
+def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
+                    starts, cont, tile_counts, py_limit, tile, width,
+                    height):
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
     num_tiles = tiles_x * tiles_y
     pix = _pix_pad(tile)
-    num_chunks = chunk_tile.shape[0]
+    cap = s_gid.shape[0]
+    num_chunks = cap // CHUNK
 
     geom, feat, f_pad, f_out = _pack_instances(
-        xy, conic, opacity, color, lang, depth, point_list
+        xy, conic, opacity, color, lang, depth, s_gid
     )
+    tile_rows = s_tile.reshape(1, cap)
 
     kern = functools.partial(
-        _fwd_kernel, tiles_x=tiles_x, num_tiles=num_tiles, tile=tile, pix=pix,
-        f_pad=f_pad, f_out=f_out, width=width, height=height,
+        _fwd_kernel, tiles_x=tiles_x, num_tiles=num_tiles, tile=tile,
+        pix=pix, f_pad=f_pad, f_out=f_out, width=width,
+        num_chunks=num_chunks,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((GEOM_ROWS, CHUNK), lambda c, *_: (0, c)),
-            pl.BlockSpec((f_pad, CHUNK), lambda c, *_: (0, c)),
+            pl.BlockSpec((GEOM_ROWS, CHUNK),
+                         lambda c, st, ct, lim:
+                         (0, jnp.where(ct[c] >= 0, c, 0))),
+            pl.BlockSpec((f_pad, CHUNK),
+                         lambda c, st, ct, lim:
+                         (0, jnp.where(ct[c] >= 0, c, 0))),
+            pl.BlockSpec((1, CHUNK),
+                         lambda c, st, ct, lim:
+                         (0, jnp.where(ct[c] >= 0, c, 0))),
         ],
         out_specs=[
-            pl.BlockSpec((1, f_pad, pix),
-                         lambda c, ct, cf, cl, lim: (ct[c], 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 (NT_ROWS, CHUNK), lambda c, *_: (c // NT_ROWS, 0)
             ),
@@ -402,9 +504,11 @@ def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, point_list,
             pltpu.VMEM((1, pix), jnp.float32),
             pltpu.VMEM((1, pix), jnp.float32),
             pltpu.VMEM((f_pad, pix), jnp.float32),
+            pltpu.VMEM((f_pad, pix), jnp.float32),
             pltpu.VMEM((NT_ROWS, CHUNK), jnp.int32),
             pltpu.VMEM((1, pix), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     acc, n_touched = pl.pallas_call(
@@ -415,61 +519,67 @@ def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, point_list,
             jax.ShapeDtypeStruct((num_chunks, CHUNK), jnp.int32),
         ],
         interpret=_interpret(),
-    )(chunk_tile, chunk_first, chunk_last, py_limit, geom, feat)
+    )(starts, cont, py_limit, geom, feat, tile_rows)
 
-    # Sanitize tiles no chunk ever visited (empty tiles + the dummy row):
-    # zero accumulators, final_T (channel row f_out) = 1.
+    # Sanitize tiles no segment ever flushed (empty tiles + the dummy
+    # row — their ANY-memory contents are uninitialized): zero
+    # accumulators, final_T (channel row f_out) = 1.
     tile_live = jnp.concatenate([tile_counts > 0, jnp.zeros((1,), bool)])
     empty = jnp.zeros((f_pad, pix), acc.dtype).at[f_out].set(1.0)
     acc = jnp.where(tile_live[:, None, None], acc, empty[None])
     out = (acc, n_touched)
     residuals = (
         xy, conic, opacity, color, lang, depth, acc,
-        point_list, chunk_tile, chunk_first, chunk_last, tile_counts,
-        py_limit,
+        s_gid, s_tile, starts, cont, tile_counts, py_limit,
     )
     return out, residuals
 
 
-def _blend_fwd(xy, conic, opacity, color, lang, depth, point_list, chunk_tile,
-               chunk_first, chunk_last, tile_counts, py_limit,
-               tile, width, height):
+def _blend_fwd(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
+               starts, cont, tile_counts, py_limit, tile, width, height):
     return _blend_fwd_impl(
-        xy, conic, opacity, color, lang, depth, point_list, chunk_tile,
-        chunk_first, chunk_last, tile_counts, py_limit, tile, width, height
+        xy, conic, opacity, color, lang, depth, s_gid, s_tile,
+        starts, cont, tile_counts, py_limit, tile, width, height
     )
 
 
 def _blend_bwd(tile, width, height, residuals, cotangents):
     (xy, conic, opacity, color, lang, depth, acc_res,
-     point_list, chunk_tile, chunk_first, chunk_last, tile_counts,
-     py_limit) = residuals
+     s_gid, s_tile, starts, cont, tile_counts, py_limit) = residuals
     g_acc, _ = cotangents  # n_touched is int — no cotangent
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
     num_tiles = tiles_x * tiles_y
     pix = _pix_pad(tile)
-    num_chunks = chunk_tile.shape[0]
+    cap = s_gid.shape[0]
+    num_chunks = cap // CHUNK
 
     geom, feat, f_pad, f_out = _pack_instances(
-        xy, conic, opacity, color, lang, depth, point_list
+        xy, conic, opacity, color, lang, depth, s_gid
     )
+    tile_rows = s_tile.reshape(1, cap)
     f_lang = lang.shape[1]
 
     kern = functools.partial(
-        _bwd_kernel, tiles_x=tiles_x, num_tiles=num_tiles, tile=tile, pix=pix,
-        f_pad=f_pad, f_out=f_out, width=width, height=height,
+        _bwd_kernel, tiles_x=tiles_x, num_tiles=num_tiles, tile=tile,
+        pix=pix, f_pad=f_pad, f_out=f_out, width=width,
+        num_chunks=num_chunks,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(num_chunks,),
         in_specs=[
-            pl.BlockSpec((GEOM_ROWS, CHUNK), lambda c, *_: (0, c)),
-            pl.BlockSpec((f_pad, CHUNK), lambda c, *_: (0, c)),
-            pl.BlockSpec((1, f_pad, pix),
-                         lambda c, ct, cf, cl, lim: (ct[c], 0, 0)),
-            pl.BlockSpec((1, f_pad, pix),
-                         lambda c, ct, cf, cl, lim: (ct[c], 0, 0)),
+            pl.BlockSpec((GEOM_ROWS, CHUNK),
+                         lambda c, st, ct, lim:
+                         (0, jnp.where(ct[c] >= 0, c, 0))),
+            pl.BlockSpec((f_pad, CHUNK),
+                         lambda c, st, ct, lim:
+                         (0, jnp.where(ct[c] >= 0, c, 0))),
+            pl.BlockSpec((1, CHUNK),
+                         lambda c, st, ct, lim:
+                         (0, jnp.where(ct[c] >= 0, c, 0))),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((GEOM_ROWS, CHUNK), lambda c, *_: (0, c)),
@@ -479,24 +589,28 @@ def _blend_bwd(tile, width, height, residuals, cotangents):
             pltpu.VMEM((1, pix), jnp.float32),
             pltpu.VMEM((1, pix), jnp.float32),
             pltpu.VMEM((1, pix), jnp.float32),
+            pltpu.VMEM((f_pad, pix), jnp.float32),
+            pltpu.VMEM((f_pad, pix), jnp.float32),
+            pltpu.VMEM((GEOM_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((f_pad, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     dgeom, dfeat = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((GEOM_ROWS, point_list.shape[0]), jnp.float32),
-            jax.ShapeDtypeStruct((f_pad, point_list.shape[0]), jnp.float32),
+            jax.ShapeDtypeStruct((GEOM_ROWS, cap), jnp.float32),
+            jax.ShapeDtypeStruct((f_pad, cap), jnp.float32),
         ],
         interpret=_interpret(),
-    )(chunk_tile, chunk_first, chunk_last, py_limit, geom, feat, g_acc,
-      acc_res)
+    )(starts, cont, py_limit, geom, feat, tile_rows, g_acc, acc_res)
 
     # Segment-sum per-instance grads back to per-Gaussian grads as ONE
     # wide-row scatter-add (six narrow scatters each pay full random-access
     # cost; a single (S, D) row scatter moves the same bytes far faster).
     p = xy.shape[0]
-    ids = jnp.where(point_list >= 0, point_list, p)
+    ids = jnp.where(s_gid >= 0, s_gid, p)
     rows = jnp.concatenate([dgeom[0:6], dfeat[: 3 + f_lang + 1]], axis=0).T
     table = jnp.zeros((p, rows.shape[1]), xy.dtype).at[ids].add(
         rows, mode="drop"
@@ -539,9 +653,11 @@ def blend_tiled(
     tiles_y = (height + tile - 1) // tile
     if max_instances is None:
         max_instances = max(8 * p, 1 << 14)
-    max_instances = ((max_instances + chunk - 1) // chunk) * chunk
+    max_instances = ((max_instances + 8 * chunk - 1) // (8 * chunk)) * (
+        8 * chunk
+    )
 
-    binning = bin_gaussians(
+    binning = bin_gaussians_sorted(
         prep, tiles_x=tiles_x, tiles_y=tiles_y,
         max_instances=max_instances, chunk=chunk,
     )
@@ -559,14 +675,13 @@ def blend_tiled(
     acc, nt_chunks = _blend_core(
         prep.xy, prep.conic, prep.opacity, prep.color, lang,
         jnp.where(prep.valid, prep.depth, 0.0),
-        binning.point_list, binning.chunk_tile, binning.chunk_first,
-        binning.chunk_last, binning.tile_counts, py_limit,
-        tile, width, height,
+        binning.s_gid, binning.s_tile, binning.starts, binning.cont,
+        binning.tile_counts, py_limit, tile, width, height,
     )
 
     # n_touched: per-chunk rows -> per-instance -> per-Gaussian.
-    ids = jnp.maximum(binning.point_list, 0)
-    nt_inst = jnp.where(binning.point_list >= 0, nt_chunks.reshape(-1), 0)
+    ids = jnp.maximum(binning.s_gid, 0)
+    nt_inst = jnp.where(binning.s_gid >= 0, nt_chunks.reshape(-1), 0)
     n_touched = jnp.zeros((p,), jnp.int32).at[ids].add(nt_inst)
 
     def tiles_to_image(tiles_arr):  # (T+1, k, pix) -> (k, H, W)

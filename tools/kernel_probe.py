@@ -273,6 +273,92 @@ def main():
         timeit("bin:wide5-gather(cap)", jax.jit(
             lambda t, i: t[i]), gt5, gid_probe)
 
+    if "binsteps" in variants:
+        # Cumulative prefixes of bin_gaussians; successive diffs isolate
+        # each stage (constant harness bias cancels).
+        p = n
+        cap = max_instances
+        from online_lang_splatting_tpu.ops.raster.binning import (
+            slot_capacity,
+        )
+
+        slot_cap = slot_capacity(cap, num_tiles, T.CHUNK)
+
+        def stage(upto):
+            def f(prep):
+                tiles_touched = prep.tiles_touched
+                d_key = jnp.where(tiles_touched > 0, prep.depth, jnp.inf)
+                _, perm = jax.lax.sort(
+                    (d_key, jnp.arange(p, dtype=jnp.int32)),
+                    num_keys=1, is_stable=True)
+                tt_s = tiles_touched[perm]
+                cum = jnp.cumsum(tt_s)
+                total = cum[-1]
+                offsets = (cum - tt_s).astype(jnp.int32)
+                if upto == "presort":
+                    return perm, total
+                gtab = jnp.stack([
+                    prep.rect_min[:, 0].astype(jnp.float32),
+                    prep.rect_min[:, 1].astype(jnp.float32),
+                    jnp.maximum(
+                        prep.rect_max[:, 0] - prep.rect_min[:, 0], 1
+                    ).astype(jnp.float32),
+                    jnp.arange(p, dtype=jnp.float32),
+                ], axis=1)
+                gtab_s = jnp.concatenate(
+                    [offsets[:, None].astype(jnp.float32), gtab[perm]],
+                    axis=1)
+                inst = jnp.arange(cap, dtype=jnp.int32)
+                start_marks = jnp.full((cap,), -1, jnp.int32).at[
+                    jnp.where(tt_s > 0, offsets, cap)
+                ].max(jnp.arange(p, dtype=jnp.int32), mode="drop")
+                gid_c = jnp.maximum(jax.lax.cummax(start_marks), 0)
+                rows = gtab_s[gid_c]
+                local = inst - rows[:, 0].astype(jnp.int32)
+                width = rows[:, 3].astype(jnp.int32)
+                tx_ = rows[:, 1].astype(jnp.int32) + local % width
+                ty_ = rows[:, 2].astype(jnp.int32) + local // width
+                tile_arr = ty_ * tiles_x + tx_
+                inst_valid = inst < total
+                tile_arr = jnp.where(inst_valid, tile_arr, num_tiles)
+                orig = rows[:, 4].astype(jnp.int32)
+                if upto == "expand":
+                    return tile_arr, orig
+                inst_bits = max((cap - 1).bit_length(), 1)
+                key = (tile_arr.astype(jnp.uint32) << inst_bits) | \
+                    inst.astype(jnp.uint32)
+                s_key, s_gid = jax.lax.sort((key, orig), num_keys=1)
+                s_tile = (s_key >> inst_bits).astype(jnp.int32)
+                if upto == "sort":
+                    return s_tile, s_gid
+                tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+                starts = jnp.searchsorted(
+                    s_tile, tile_ids, side="left").astype(jnp.int32)
+                ends = jnp.searchsorted(
+                    s_tile, tile_ids, side="right").astype(jnp.int32)
+                counts = ends - starts
+                if upto == "ranges":
+                    return counts, s_gid
+                padded = ((counts + T.CHUNK - 1) // T.CHUNK) * T.CHUNK
+                pcum = jnp.cumsum(padded)
+                pstarts = (pcum - padded).astype(jnp.int32)
+                shift_t = pstarts - starts
+                shift_marks = jnp.full((cap,), -1, jnp.int32).at[
+                    jnp.where(counts > 0, starts, cap)
+                ].max(shift_t, mode="drop")
+                shift = jnp.maximum(jax.lax.cummax(shift_marks), 0)
+                dst = jnp.where(inst_valid, inst + shift, slot_cap)
+                point_list = jnp.full((slot_cap,), -1, jnp.int32).at[
+                    dst].set(s_gid, mode="drop")
+                return point_list, counts
+            return f
+
+        for name in ("presort", "expand", "sort", "ranges", "slots"):
+            timeit(f"bin[{name}]", jax.jit(stage(name)), prep_d)
+        timeit("bin[full]", jax.jit(functools.partial(
+            BN.bin_gaussians, tiles_x=tiles_x, tiles_y=tiles_y,
+            max_instances=max_instances, chunk=T.CHUNK)), prep_d)
+
     if "bwdparts" in variants:
         slot_cap = ct.shape[0] * T.CHUNK
         rngg = np.random.default_rng(0)
