@@ -120,12 +120,20 @@ def _sorted_core(prep: Preprocessed, tiles_x: int, tiles_y: int,
 
     inst = jnp.arange(cap, dtype=jnp.int32)
     start_idx = jnp.where(tt_s > 0, offsets, cap)
-    vals0 = jnp.full((5, cap), -1.0, jnp.float32).at[:, start_idx].set(
+    vals = jnp.full((5, cap), -1.0, jnp.float32).at[:, start_idx].set(
         gtab_s.T, mode="drop"
     )
-    rows = jax.lax.associative_scan(
-        lambda a, b: jnp.where(b >= 0.0, b, a), vals0, axis=1
-    ).T
+    # Manual Hillis-Steele jump-carry (log2(cap) flat shift+select passes).
+    # NOT lax.associative_scan: its recursive odd/even lowering hangs the
+    # TPU compiler at 1M-element scale (reproduced in isolation).
+    s = 1
+    while s < cap:
+        shifted = jnp.pad(
+            vals, ((0, 0), (s, 0)), constant_values=-1.0
+        )[:, :cap]
+        vals = jnp.where(vals >= 0.0, vals, shifted)
+        s *= 2
+    rows = vals.T
     local = inst - rows[:, 0].astype(jnp.int32)
     width = rows[:, 3].astype(jnp.int32)
     if cap < (1 << 22):
