@@ -328,16 +328,17 @@ def _bwd_kernel(
                 @pl.when(base + j0 == t_start)
                 def _():
                     # New tile: pull its image cotangent + saved forward
-                    # accumulator from HBM.
+                    # accumulator from HBM (both in flight before either
+                    # wait — the DMA latency is paid once, not twice).
                     cp_g = pltpu.make_async_copy(
                         gacc_ref.at[t], g_s, sem
                     )
-                    cp_g.start()
-                    cp_g.wait()
                     cp_a = pltpu.make_async_copy(
                         acc_res_ref.at[t], ar_s, sem
                     )
+                    cp_g.start()
                     cp_a.start()
+                    cp_g.wait()
                     cp_a.wait()
                     t_s[...] = jnp.ones_like(t_s)
                     done_s[...] = jnp.zeros_like(done_s)

@@ -143,6 +143,10 @@ class FrontEnd:
         self.kf_indices: List[int] = []
         self.median_depth = 1.0
         self.render_inputs: Optional[RenderInputs] = None
+        # Per-frame tracking iteration counts + final losses (the
+        # ‖tau‖<1e-4 convergence-exit analysis, PERF.md).
+        self.track_iters: List[int] = []
+        self.track_losses: List[float] = []
 
     # -- tracking -----------------------------------------------------------
 
@@ -194,6 +198,8 @@ class FrontEnd:
             cam.update_rt(v[:3, :3], v[:3, 3])
             cam.exposure_a = float(ea)
             cam.exposure_b = float(eb)
+        self.track_iters.append(int(n_iters))
+        self.track_losses.append(float(loss))
         self.median_depth = float(med)
         if not np.isfinite(self.median_depth):
             self.median_depth = 1.0
