@@ -373,12 +373,16 @@ class FrameStack:
     through the host link after insertion (the reference keeps all
     viewpoints on-GPU the same way, slam_backend.py:187)."""
 
-    # Pow-4 ladder bounds recompiles to 3/mode. Capped at 16: a single
-    # dispatch of 16 full-scale iterations runs ~27 s on hardware; the TPU
-    # worker kills dispatches in the minute range (chunk-64 ≈ 109 s
-    # reproducibly crashed it), and 16 already removes ~94% of per-KF
-    # host round trips.
+    # Pow-4 ladder bounds recompiles to 3-4/mode. Mapping caps at 16: a
+    # single dispatch of 16 full-scale 12-slot iterations runs ~20-27 s on
+    # hardware and the TPU worker kills dispatches in the minute range
+    # (chunk-64 at 12 live slots ~ 109 s reproducibly crashed it). INIT
+    # chunks go to 64: init has ONE live keyframe slot (~0.1 s/iteration,
+    # 64 iters ~ 7 s), and each dispatch through the remote relay costs
+    # ~1-2 s of submission overhead — quartering the dispatch count cuts
+    # the init phase materially.
     CHUNK_SIZES = (16, 4, 1)
+    INIT_CHUNK_SIZES = (64, 16, 4, 1)
 
     def __init__(self, h: int, w: int, lang_dim: int, cap: int = 16,
                  lang_hw=(192, 192)):
@@ -743,6 +747,7 @@ class BackEnd:
             win_imgs, win_deps, win_langs,
             jnp.asarray(valid), jnp.asarray(lang_on),
             jnp.asarray(pose_opt), jnp.asarray(exp_opt),
+            pose_opt, exp_opt,  # host mirrors (avoid per-chunk fetches)
         ]
 
     def _stage_rand(self, rand_pool: List[int], count0: int, n: int):
@@ -791,7 +796,8 @@ class BackEnd:
         the optimized window poses without a host round-trip."""
         n_slots = self._n_slots()
         (win_r, win_t, win_ea, win_eb, win_imgs, win_deps, win_langs,
-         win_valid, win_lang_on, pose_opt, exp_opt) = staged_window
+         win_valid, win_lang_on, pose_opt, exp_opt,
+         pose_opt_h, exp_opt_h) = staged_window
         rand = self._stage_rand(rand_pool, self.iteration_count, n)
         pm, pv, pt = self.keyframe_optimizer_state
         stack = self.frame_stack
@@ -821,7 +827,15 @@ class BackEnd:
                 self.settings, n_slots, n, init_mode, lr_cfg, self.mesh
             )
             out = fn(*args)
-            if not bool(out[10]):
+            # ONE batched host transfer for everything the host needs from
+            # the chunk (overflow flag, window poses/exposures, occ
+            # visibility): each separate fetch pays a full tunnel round
+            # trip (~30-300 ms), and chunks used to make six of them.
+            (ovf_h, new_r_h, new_t_h, new_ea_h, new_eb_h,
+             occ_h) = jax.device_get(
+                (out[10], out[3], out[4], out[5], out[6], out[8])
+            )
+            if not bool(ovf_h):
                 break
             self.settings = self.settings._replace(
                 max_instances=self.settings.max_instances * 2
@@ -829,7 +843,7 @@ class BackEnd:
             print(f"[backend] raster instance pool grown to "
                   f"{self.settings.max_instances}; replaying chunk")
         else:
-            if bool(out[10]):
+            if bool(ovf_h):
                 import warnings
 
                 warnings.warn(
@@ -848,11 +862,8 @@ class BackEnd:
         staged_window[2], staged_window[3] = new_ea, new_eb
         self._replay_online_ae(window, rand, count0, n, lang_run, init_mode)
 
-        # Write back window poses/exposures.
-        new_r_h, new_t_h = np.asarray(new_r), np.asarray(new_t)
-        new_ea_h, new_eb_h = np.asarray(new_ea), np.asarray(new_eb)
-        pose_opt_h = np.asarray(pose_opt)
-        exp_opt_h = np.asarray(exp_opt)
+        # Write back window poses/exposures (host copies from the batched
+        # transfer above).
         for i, idx in enumerate(window):
             cam = self.viewpoints[idx]
             if pose_opt_h[i]:
@@ -860,10 +871,9 @@ class BackEnd:
             if exp_opt_h[i]:
                 cam.exposure_a = float(new_ea_h[i])
                 cam.exposure_b = float(new_eb_h[i])
-        occ = np.asarray(occ_vis)
         for i, idx in enumerate(window):
-            self.occ_aware_visibility[idx] = occ[i]
-        return occ
+            self.occ_aware_visibility[idx] = occ_h[i]
+        return occ_h
 
     def _replay_online_ae(self, window, rand, count0: int, n: int,
                           lang_run: bool, init_mode: bool):
@@ -927,7 +937,11 @@ class BackEnd:
         while it_done < iters:
             to_event = self._iters_to_event(self.iteration_count, init_mode)
             budget = min(iters - it_done, to_event)
-            n = next(s for s in FrameStack.CHUNK_SIZES if s <= budget)
+            ladder = (
+                FrameStack.INIT_CHUNK_SIZES if init_mode
+                else FrameStack.CHUNK_SIZES
+            )
+            n = next(s for s in ladder if s <= budget)
             occ = self._run_chunk(
                 window, staged, rand_pool, n, lang_run, init_mode
             )
