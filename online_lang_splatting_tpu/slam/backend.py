@@ -680,8 +680,12 @@ class BackEnd:
 
     # -- mapping ------------------------------------------------------------
 
-    def _n_slots(self) -> int:
-        n = self.window_size + 2
+    def _n_slots(self, init_mode: bool = False) -> int:
+        # Init maps ONE keyframe: a 4-slot layout (2 window + 2 random)
+        # skips 8 dead-slot scan steps per iteration vs the full window
+        # (each costs a few ms of cond/accumulator machinery x 1050 init
+        # iterations).
+        n = 4 if init_mode else self.window_size + 2
         if self.mesh is not None:
             # Pad to a multiple of the mesh size so slots shard evenly;
             # padding slots carry valid=False and contribute zero loss.
@@ -794,7 +798,7 @@ class BackEnd:
         `staged_window` is a list; its pose/exposure entries are refreshed
         in place with the chunk's outputs so the next chunk continues from
         the optimized window poses without a host round-trip."""
-        n_slots = self._n_slots()
+        n_slots = self._n_slots(init_mode)
         (win_r, win_t, win_ea, win_eb, win_imgs, win_deps, win_langs,
          win_valid, win_lang_on, pose_opt, exp_opt,
          pose_opt_h, exp_opt_h) = staged_window
@@ -915,7 +919,7 @@ class BackEnd:
             prune: bool = False, init_mode: bool = False) -> bool:
         if not window:
             return False
-        n_slots = self._n_slots()
+        n_slots = self._n_slots(init_mode)
         rand_pool = [i for i in self.viewpoints if i not in set(window)]
         if self.lang_train and lang_run:
             for idx in window:

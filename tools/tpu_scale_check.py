@@ -203,6 +203,51 @@ def main():
         print(f"  warm run {time.time()-t0:.2f}s")
         return 0
 
+    if args.stage == 8:
+        # Init-mode chunk: ONE live slot, early-init Gaussian count, 64
+        # iterations per dispatch — the init-phase building block.
+        from online_lang_splatting_tpu.slam.backend import make_mapping_chunk
+
+        n_iters = 64
+        n_win = s - 2
+        lr_cfg = (0.00016, 0.0000016, 0.01, 30000)
+        fn = make_mapping_chunk(settings, s, n_iters, True, lr_cfg, None)
+        k = 16
+        stack_imgs = jnp.asarray(rng.uniform(size=(k, 3, h, w)), jnp.float32)
+        stack_deps = jnp.full((k, 1, h, w), 3.0, jnp.float32)
+        stack_langs = jnp.asarray(
+            rng.normal(size=(k, 15, 192, 192)) * 0.1, jnp.float32)
+        valid1 = jnp.asarray([True] + [False] * (n_win - 1))
+        chunk_args = (
+            params, opt, aux, proj,
+            jnp.broadcast_to(jnp.eye(3), (n_win, 3, 3)),
+            jnp.zeros((n_win, 3), jnp.float32),
+            jnp.zeros((n_win,), jnp.float32), jnp.zeros((n_win,), jnp.float32),
+            stack_imgs[:n_win], stack_deps[:n_win], stack_langs[:n_win],
+            valid1, valid1,
+            jnp.zeros((s,), bool), jnp.asarray([True] + [False] * (s - 1)),
+            (z3, z3, zs, zs), (z3, z3, zs, zs), zs,
+            stack_imgs, stack_deps, stack_langs, jnp.zeros((k,), bool),
+            jnp.zeros((n_iters, 2), jnp.int32),
+            jnp.zeros((n_iters, 2), bool),
+            jnp.broadcast_to(jnp.eye(3), (n_iters, 2, 3, 3)),
+            jnp.zeros((n_iters, 2, 3), jnp.float32),
+            jnp.zeros((n_iters, 2), jnp.float32),
+            jnp.zeros((n_iters, 2), jnp.float32),
+            jnp.float32(0.0), lrs, jnp.float32(1.0),
+        )
+        t0 = time.time()
+        out = fn(*chunk_args)
+        jax.block_until_ready(out[0].xyz)
+        print(f"stage 8 (init chunk 64, n={args.n}) compile+run "
+              f"{time.time()-t0:.1f}s")
+        for _ in range(2):
+            t0 = time.time()
+            jax.block_until_ready(fn(*chunk_args)[0].xyz)
+            dt = time.time() - t0
+            print(f"  warm run {dt:.2f}s ({1e3*dt/n_iters:.0f} ms/iter)")
+        return 0
+
     if args.stage in (4, 5, 6):
         from online_lang_splatting_tpu.slam.backend import make_mapping_chunk
 
