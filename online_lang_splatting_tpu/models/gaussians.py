@@ -393,9 +393,11 @@ def prune_only(
 def reset_opacity(params: GaussianParams, opt: AdamState, value: float = 0.01):
     """Set every opacity to `value` and zero its Adam moments (reference
     reset_opacity + replace_tensor_to_optimizer)."""
+    # Python-math constant (not jnp) so this stays trace-safe inside the
+    # mapping chunk's on-device cadence (lax.cond under jit).
     params = params._replace(
         opacity=jnp.full_like(
-            params.opacity, float(inverse_sigmoid(jnp.asarray(value)))
+            params.opacity, math.log(value / (1.0 - value))
         )
     )
     opt = AdamState(
@@ -411,7 +413,7 @@ def reset_opacity_nonvisible(
 ):
     """Reset opacity of non-visible Gaussians only (reference
     reset_opacity_nonvisible)."""
-    target = float(inverse_sigmoid(jnp.asarray(value)))
+    target = math.log(value / (1.0 - value))  # trace-safe constant
     new_op = jnp.where(visible[:, None], params.opacity, target)
     params = params._replace(opacity=new_op)
     opt = AdamState(

@@ -10,11 +10,12 @@ shardable per-slot core (`scan_slot_grads`) plus a replicated update tail
 only one render's residuals are ever live.
 
 Production dispatch is CHUNKED (`make_mapping_chunk`): up to 16 mapping
-iterations run device-resident per dispatch — window poses, both Adam
-states and densification stats carried in a lax.scan, random
-anti-forgetting frames gathered on-device from a `FrameStack` — with
-chunk boundaries placed exactly at the reference's densify/opacity-reset
-cadence iterations, which run on the host between chunks. With a
+iterations (64 during init) run device-resident per dispatch — window
+poses, both Adam states and densification stats carried in a lax.scan,
+random anti-forgetting frames gathered on-device from a `FrameStack`,
+and the reference's densify/opacity-reset cadence events fired ON DEVICE
+at their exact iterations (lax.cond inside the scan), so a chunk never
+has to break at an event boundary. With a
 jax.sharding Mesh, the slot axis additionally shards over the `dp` axis
 (gradients psum over ICI) — the multi-chip replacement for the
 reference's single-GPU backend process. `mapping_iteration` (one
@@ -261,6 +262,7 @@ def make_mapping_chunk(
     init_mode: bool,
     lr_cfg: tuple,  # (xyz_lr_init, xyz_lr_final, delay_mult, max_steps)
     mesh=None,
+    cadence: tuple | None = None,
 ):
     """Build a jitted function running `n_iters` full mapping iterations in
     ONE device dispatch (a lax.scan over iterations, each scanning the
@@ -274,6 +276,19 @@ def make_mapping_chunk(
     window, the last 2 are the per-iteration random frames. With `mesh`,
     the slot axis is sharded over the mesh's dp axis per iteration
     (gradients psum, stats psum/pmax) — the multi-chip mapping path.
+
+    With `cadence` = (update_every, update_offset, reset_every, max_grad,
+    min_opacity, extent, size_threshold|None, percent_dense), the
+    reference's densify/prune and opacity-reset cadence events
+    (slam_backend.py:729-742) run ON DEVICE inside the iteration scan (a
+    lax.cond at the exact cadence iterations), so chunks no longer break
+    at event boundaries — every dispatch through the remote relay costs
+    ~1-2 s of submission overhead, and event-aligned splitting used to
+    quadruple the init phase's dispatch count. The jitted function then
+    takes one extra trailing argument (the per-chunk RNG key; split-sample
+    keys derive from it via fold_in(iteration)) and reports densify
+    capacity overflow as an extra output, on which the caller grows the
+    Gaussian capacity and REPLAYS the chunk.
     """
     n_win = n_slots - 2
 
@@ -302,14 +317,20 @@ def make_mapping_chunk(
         iter0,                                 # scalar f32: iteration count before chunk
         fixed_lrs: G.LearningRates,
         lang_weight,
+        base_key=None,                         # cadence mode only
     ):
         win_valid_f = win_valid.astype(jnp.float32)
         counts = iter0 + 1.0 + jnp.arange(n_iters, dtype=jnp.float32)
+        counts_i = (
+            jnp.round(iter0).astype(jnp.int32)
+            + 1
+            + jnp.arange(n_iters, dtype=jnp.int32)
+        )
         occ0 = jnp.zeros((n_slots, params.xyz.shape[0]), bool)
 
         def body(carry, x):
             (params, opt, aux, wr, wt, wea, web, pm, pv, pt, _occ) = carry
-            (rows, rvalid, rr, rt, rea, reb, count) = x
+            (rows, rvalid, rr, rt, rea, reb, count, count_i) = x
             r_imgs = jnp.take(stack_imgs, rows, axis=0)
             r_deps = jnp.take(stack_deps, rows, axis=0)
             r_langs = jnp.take(stack_langs, rows, axis=0)
@@ -343,24 +364,66 @@ def make_mapping_chunk(
                 slot_r, slot_t, slot_ea, slot_eb,
                 pm, pv, pt, pose_opt, exp_opt, lrs,
             )
+
+            if cadence is not None:
+                (upd_every, upd_off, rst_every, max_grad, min_op,
+                 extent, size_th, pct) = cadence
+                do_update = (count_i % upd_every) == upd_off
+                do_reset = ((count_i % rst_every) == 0) & ~do_update
+                key = jax.random.fold_in(base_key, count_i)
+
+                def densify(operand):
+                    p, o, a = operand
+                    p2, a2, o2, d_ovf = G.densify_and_prune(
+                        p, a, o, key, max_grad=max_grad, min_opacity=min_op,
+                        extent=extent, max_screen_size=size_th,
+                        percent_dense=pct,
+                    )
+                    return p2, o2, a2, d_ovf
+
+                params, opt, aux, cap_ovf = jax.lax.cond(
+                    do_update, densify,
+                    lambda operand: (*operand, jnp.zeros((), bool)),
+                    (params, opt, aux),
+                )
+                if init_mode:
+                    def reset(operand):
+                        return G.reset_opacity(*operand)
+                else:
+                    # Visible = seen by any live window slot THIS iteration
+                    # (reference reset_opacity_nonvisible after map()).
+                    visible = jnp.any(
+                        occ_vis[:n_win] & win_valid[:, None], axis=0
+                    )
+
+                    def reset(operand):
+                        return G.reset_opacity_nonvisible(*operand, visible)
+
+                params, opt = jax.lax.cond(
+                    do_reset, reset, lambda operand: operand, (params, opt)
+                )
+            else:
+                cap_ovf = jnp.zeros((), bool)
+
             carry = (
                 params, opt, aux,
                 new_r[:n_win], new_t[:n_win], new_ea[:n_win], new_eb[:n_win],
                 pm, pv, pt, occ_vis,
             )
-            return carry, (loss, ovf)
+            return carry, (loss, ovf, cap_ovf)
 
         carry0 = (
             params, opt, aux, win_r, win_t, win_ea, win_eb,
             pose_m, pose_v, pose_t, occ0,
         )
-        xs = (rand_rows, rand_valid, rand_r, rand_t, rand_ea, rand_eb, counts)
+        xs = (rand_rows, rand_valid, rand_r, rand_t, rand_ea, rand_eb,
+              counts, counts_i)
         (params, opt, aux, wr, wt, wea, web, pm, pv, pt, occ_vis), (
-            losses, ovfs
+            losses, ovfs, cap_ovfs
         ) = jax.lax.scan(body, carry0, xs)
         return (
             params, opt, aux, wr, wt, wea, web, (pm, pv, pt),
-            occ_vis, losses, jnp.any(ovfs),
+            occ_vis, losses, jnp.any(ovfs), jnp.any(cap_ovfs),
         )
 
     return jax.jit(chunk)
@@ -693,24 +756,6 @@ class BackEnd:
             n = -(-n // d) * d
         return n
 
-    def _iters_to_event(self, count: int, init_mode: bool) -> int:
-        """Distance from `count` to the next densify/reset cadence event
-        (the iteration k>count with k % update_every == update_offset or
-        k % reset_every == 0, matching slam_backend.py:729-742)."""
-        update_every = (
-            self.init_gaussian_update if init_mode else self.gaussian_update_every
-        )
-        update_offset = 0 if init_mode else self.gaussian_update_offset
-        reset_every = (
-            self.init_gaussian_reset if init_mode else self.gaussian_reset
-        )
-        d = 1
-        while True:
-            k = count + d
-            if k % update_every == update_offset or k % reset_every == 0:
-                return d
-            d += 1
-
     def _stage_window(self, window: List[int], n_win: int, lang_run: bool):
         """Host-side window slot tensors for a chunk (constant across the
         whole map() call); frames gathered from the device frame stack."""
@@ -790,11 +835,30 @@ class BackEnd:
             jnp.asarray(r), jnp.asarray(t), jnp.asarray(ea), jnp.asarray(eb),
         )
 
+    def _cadence_cfg(self, init_mode: bool) -> tuple:
+        """Static densify/reset cadence config for in-chunk events
+        (slam_backend.py:729-742 hyperparameters)."""
+        return (
+            self.init_gaussian_update if init_mode
+            else self.gaussian_update_every,
+            0 if init_mode else self.gaussian_update_offset,
+            self.init_gaussian_reset if init_mode else self.gaussian_reset,
+            float(self.op["densify_grad_threshold"]),
+            float(self.init_gaussian_th if init_mode else self.gaussian_th),
+            float(
+                self.init_gaussian_extent if init_mode
+                else self.gaussian_extent
+            ),
+            None if init_mode else self.size_threshold,
+            float(self.op["percent_dense"]),
+        )
+
     def _run_chunk(self, window, staged_window, rand_pool, n: int,
-                   lang_run: bool, init_mode: bool):
+                   lang_run: bool, init_mode: bool, cadence: bool = True):
         """Dispatch one device-resident chunk of n mapping iterations, with
-        overflow-redo (grow the instance pool and REPLAY the chunk before
-        committing — no truncated-gradient step is ever applied).
+        overflow-redo (grow the instance pool / the Gaussian capacity and
+        REPLAY the chunk before committing — no truncated-gradient or
+        dropped-densify step is ever applied).
         `staged_window` is a list; its pose/exposure entries are refreshed
         in place with the chunk's outputs so the next chunk continues from
         the optimized window poses without a host round-trip."""
@@ -803,7 +867,6 @@ class BackEnd:
          win_valid, win_lang_on, pose_opt, exp_opt,
          pose_opt_h, exp_opt_h) = staged_window
         rand = self._stage_rand(rand_pool, self.iteration_count, n)
-        pm, pv, pt = self.keyframe_optimizer_state
         stack = self.frame_stack
         op = self.op
         lr_cfg = (
@@ -815,51 +878,68 @@ class BackEnd:
             stack.lang_on if (lang_run and self.lang_train)
             else np.zeros_like(stack.lang_on)
         )
-        args = (
-            self.params, self.opt, self.aux, self.proj,
-            win_r, win_t, win_ea, win_eb,
-            win_imgs, win_deps, win_langs, win_valid, win_lang_on,
-            pose_opt, exp_opt,
-            pm, pv, pt,
-            stack.images, stack.depths, stack.langs, stack_lang_on,
-            *rand,
-            jnp.float32(self.iteration_count),
-            fixed, jnp.float32(self.lamda_lang),
-        )
+        cad = self._cadence_cfg(init_mode) if cadence else None
+        # One key per chunk; per-event keys derive via fold_in(iteration),
+        # so an overflow REPLAY reruns the identical key schedule.
+        self.rng, base_key = jax.random.split(self.rng)
         for _attempt in range(4):
+            args = (
+                self.params, self.opt, self.aux, self.proj,
+                win_r, win_t, win_ea, win_eb,
+                win_imgs, win_deps, win_langs, win_valid, win_lang_on,
+                pose_opt, exp_opt,
+                *self.keyframe_optimizer_state,
+                stack.images, stack.depths, stack.langs, stack_lang_on,
+                *rand,
+                jnp.float32(self.iteration_count),
+                fixed, jnp.float32(self.lamda_lang),
+            )
+            if cad is not None:
+                args = args + (base_key,)
             fn = make_mapping_chunk(
-                self.settings, n_slots, n, init_mode, lr_cfg, self.mesh
+                self.settings, n_slots, n, init_mode, lr_cfg, self.mesh, cad
             )
             out = fn(*args)
             # ONE batched host transfer for everything the host needs from
-            # the chunk (overflow flag, window poses/exposures, occ
+            # the chunk (overflow flags, window poses/exposures, occ
             # visibility): each separate fetch pays a full tunnel round
             # trip (~30-300 ms), and chunks used to make six of them.
-            (ovf_h, new_r_h, new_t_h, new_ea_h, new_eb_h,
+            (ovf_h, cap_ovf_h, new_r_h, new_t_h, new_ea_h, new_eb_h,
              occ_h) = jax.device_get(
-                (out[10], out[3], out[4], out[5], out[6], out[8])
+                (out[10], out[11], out[3], out[4], out[5], out[6], out[8])
             )
-            if not bool(ovf_h):
-                break
-            self.settings = self.settings._replace(
-                max_instances=self.settings.max_instances * 2
-            )
-            print(f"[backend] raster instance pool grown to "
-                  f"{self.settings.max_instances}; replaying chunk")
-        else:
+            grew = False
             if bool(ovf_h):
+                self.settings = self.settings._replace(
+                    max_instances=self.settings.max_instances * 2
+                )
+                grew = True
+                print(f"[backend] raster instance pool grown to "
+                      f"{self.settings.max_instances}; replaying chunk")
+            if bool(cap_ovf_h):
+                # In-chunk densify ran out of free Gaussian slots: grow the
+                # capacity bucket (pre-chunk state — nothing committed yet)
+                # and replay so no clone/split candidate is ever dropped.
+                self._grow_capacity()
+                grew = True
+                print(f"[backend] gaussian capacity grown to {self.cap}; "
+                      "replaying chunk")
+            if not grew:
+                break
+        else:
+            if bool(ovf_h) or bool(cap_ovf_h):
                 import warnings
 
                 warnings.warn(
-                    "[backend] mapping chunk still overflows the raster "
-                    f"instance pool after 4 doublings "
-                    f"(max_instances={self.settings.max_instances}); "
-                    "committing truncated-gradient result — map quality "
-                    "may degrade.",
+                    "[backend] mapping chunk still overflows after 4 "
+                    f"doublings (max_instances="
+                    f"{self.settings.max_instances}, capacity={self.cap}); "
+                    "committing truncated result — map quality may degrade.",
                     RuntimeWarning,
                 )
         (self.params, self.opt, self.aux, new_r, new_t, new_ea, new_eb,
-         self.keyframe_optimizer_state, occ_vis, losses, _ovf) = out
+         self.keyframe_optimizer_state, occ_vis, losses, _ovf,
+         _cap_ovf) = out
         count0 = self.iteration_count
         self.iteration_count += n
         staged_window[0], staged_window[1] = new_r, new_t
@@ -928,72 +1008,42 @@ class BackEnd:
             self.keyframe_optimizer_state[2].shape[0] != n_slots
         ):
             self.reset_keyframe_optimizer(n_slots)
-        gaussian_split = False
         staged = self._stage_window(window, n_slots - 2, lang_run)
 
         if prune:
             # One iteration + occ-visibility prune (slam_backend.py:683-717).
-            self._run_chunk(window, staged, rand_pool, 1, lang_run, init_mode)
+            # No cadence: the host path never fired events from this extra
+            # iteration either.
+            self._run_chunk(
+                window, staged, rand_pool, 1, lang_run, init_mode,
+                cadence=False,
+            )
             self._visibility_prune(window)
             return False
 
+        count0 = self.iteration_count
         it_done = 0
         while it_done < iters:
-            to_event = self._iters_to_event(self.iteration_count, init_mode)
-            budget = min(iters - it_done, to_event)
             ladder = (
                 FrameStack.INIT_CHUNK_SIZES if init_mode
                 else FrameStack.CHUNK_SIZES
             )
-            n = next(s for s in ladder if s <= budget)
-            occ = self._run_chunk(
+            n = next(s for s in ladder if s <= iters - it_done)
+            self._run_chunk(
                 window, staged, rand_pool, n, lang_run, init_mode
             )
             it_done += n
-            # _cadence_events re-checks the exact modulo conditions, so this
-            # is a no-op unless the chunk ended ON a cadence iteration.
-            gaussian_split |= self._cadence_events(init_mode, occ, window)
-        return gaussian_split
-
-    def _cadence_events(self, init_mode: bool, occ, window) -> bool:
-        """Densify/prune and opacity-reset cadences at the current
-        iteration count (slam_backend.py:729-742), run on the host between
-        chunks exactly at the iterations where the reference fires them."""
-        gaussian_split = False
+        # Cadence events ran ON DEVICE inside the chunks; report whether any
+        # densify iteration fell inside this call (host-deterministic).
         update_every = (
-            self.init_gaussian_update if init_mode else self.gaussian_update_every
+            self.init_gaussian_update if init_mode
+            else self.gaussian_update_every
         )
         update_offset = 0 if init_mode else self.gaussian_update_offset
-        cadence_update = self.iteration_count % update_every == update_offset
-        if cadence_update:
-            self.rng, key = jax.random.split(self.rng)
-            extent = (
-                self.init_gaussian_extent if init_mode else self.gaussian_extent
-            )
-            th = self.init_gaussian_th if init_mode else self.gaussian_th
-            size_th = None if init_mode else self.size_threshold
-            self.params, self.aux, self.opt, overflow = G.densify_and_prune(
-                self.params, self.aux, self.opt, key,
-                max_grad=self.op["densify_grad_threshold"],
-                min_opacity=th, extent=extent, max_screen_size=size_th,
-                percent_dense=self.op["percent_dense"],
-            )
-            if bool(overflow):
-                self._grow_capacity()
-            gaussian_split = True
-        reset_every = (
-            self.init_gaussian_reset if init_mode else self.gaussian_reset
+        gaussian_split = any(
+            k % update_every == update_offset
+            for k in range(count0 + 1, self.iteration_count + 1)
         )
-        if (self.iteration_count % reset_every == 0) and not cadence_update:
-            if init_mode:
-                self.params, self.opt = G.reset_opacity(self.params, self.opt)
-            else:
-                n_valid = len(window)
-                visible = jnp.asarray(occ[:n_valid].any(axis=0))
-                self.params, self.opt = G.reset_opacity_nonvisible(
-                    self.params, self.opt, visible
-                )
-            gaussian_split = True
         return gaussian_split
 
     def _visibility_prune(self, window: List[int]):

@@ -117,7 +117,7 @@ def test_chunk_matches_per_iteration():
     pm0, pv0 = (z3, z3, zs, zs), (z3, z3, zs, zs)
     fn = make_mapping_chunk(settings, n_slots, n_iters, False, LR_CFG)
     (p_c, o_c, a_c, wr_c, wt_c, wea_c, web_c, (pm_c, pv_c, pt_c),
-     occ_c, losses, ovf) = fn(
+     occ_c, losses, ovf, cap_ovf) = fn(
         params, opt, aux, proj,
         win["r"], win["t"], win["ea"], win["eb"],
         win["imgs"], win["deps"], win["langs"], win["valid"], win["lang_on"],
@@ -148,3 +148,127 @@ def test_chunk_matches_per_iteration():
     close(occ_ref, occ_c, "occ")
     assert losses.shape == (n_iters,)
     assert not bool(ovf)
+    assert not bool(cap_ovf)  # no cadence config -> never fires
+
+
+def test_chunk_cadence_matches_host_events():
+    """In-chunk densify/opacity-reset cadence (lax.cond inside the scan)
+    must reproduce the host-driven path: mapping_iteration followed by
+    G.densify_and_prune / reset at the exact event iterations, with the
+    same fold_in(base_key, count) key schedule."""
+    n_win, n_iters = 2, 6
+    n_slots = n_win + 2
+    (params, opt, aux, settings, proj, win, pose_opt, exp_opt,
+     stack) = _setup(n_win)
+    stack_imgs, stack_deps, stack_langs, stack_lang_on = stack
+    rng = np.random.default_rng(11)
+    rand_rows = jnp.asarray(rng.integers(2, 5, size=(n_iters, 2)), jnp.int32)
+    rand_valid = jnp.ones((n_iters, 2), bool)
+    rand_r = jnp.broadcast_to(jnp.eye(3), (n_iters, 2, 3, 3))
+    rand_t = jnp.asarray(rng.normal(size=(n_iters, 2, 3)) * 0.01, jnp.float32)
+    rand_ea = jnp.zeros((n_iters, 2), jnp.float32)
+    rand_eb = jnp.zeros((n_iters, 2), jnp.float32)
+    lw = jnp.float32(1.0)
+    fixed_lrs = G.LearningRates(*[jnp.float32(1e-3)] * 7)
+    base_key = jax.random.PRNGKey(42)
+
+    # One densify event (count 4: 96 clones -> 192 active, no capacity
+    # overflow) and two opacity resets (counts 3, 6). Thresholds sit far
+    # from any data boundary so discrete decisions can't flip on float
+    # reassociation: max_grad=0 (all active clone), huge extent (nothing
+    # splits), tiny min_opacity (nothing prunes).
+    upd_every, upd_off, rst_every = 4, 0, 3
+    cad = (upd_every, upd_off, rst_every, 0.0, 1e-6, 1e6, None, 0.01)
+
+    z3 = jnp.zeros((n_slots, 3), jnp.float32)
+    zs = jnp.zeros((n_slots,), jnp.float32)
+
+    # --- reference: host loop with explicit events ------------------------
+    pm, pv, pt = (z3, z3, zs, zs), (z3, z3, zs, zs), zs
+    p_ref, o_ref, a_ref = params, opt, aux
+    wr, wt, wea, web = win["r"], win["t"], win["ea"], win["eb"]
+    for j in range(n_iters):
+        count = j + 1
+        slot_r = jnp.concatenate([wr, rand_r[j]])
+        slot_t = jnp.concatenate([wt, rand_t[j]])
+        slot_ea = jnp.concatenate([wea, rand_ea[j]])
+        slot_eb = jnp.concatenate([web, rand_eb[j]])
+        imgs = jnp.concatenate(
+            [win["imgs"], jnp.take(stack_imgs, rand_rows[j], axis=0)])
+        deps = jnp.concatenate(
+            [win["deps"], jnp.take(stack_deps, rand_rows[j], axis=0)])
+        lngs = jnp.concatenate(
+            [win["langs"], jnp.take(stack_langs, rand_rows[j], axis=0)])
+        valid = jnp.concatenate([win["valid"], rand_valid[j]])
+        lang_on = jnp.concatenate(
+            [win["lang_on"], jnp.take(stack_lang_on, rand_rows[j])]
+        )
+        lrs = fixed_lrs._replace(
+            xyz=G.expon_lr(
+                jnp.float32(count), LR_CFG[0], LR_CFG[1],
+                lr_delay_mult=LR_CFG[2], max_steps=LR_CFG[3],
+            )
+        )
+        (p_ref, o_ref, a_ref, new_r, new_t, new_ea, new_eb,
+         (pm, pv, pt), occ_ref, _loss, _ovf) = mapping_iteration(
+            p_ref, o_ref, a_ref, proj,
+            slot_r, slot_t, slot_ea, slot_eb, pm, pv, pt,
+            imgs, deps, lngs, valid, lang_on, pose_opt, exp_opt,
+            lrs, lw, settings=settings, n_slots=n_slots, init_mode=False,
+        )
+        wr, wt, wea, web = (new_r[:n_win], new_t[:n_win],
+                            new_ea[:n_win], new_eb[:n_win])
+        do_update = count % upd_every == upd_off
+        if do_update:
+            key = jax.random.fold_in(base_key, count)
+            p_ref, a_ref, o_ref, _cap = G.densify_and_prune(
+                p_ref, a_ref, o_ref, key, max_grad=cad[3],
+                min_opacity=cad[4], extent=cad[5], max_screen_size=cad[6],
+                percent_dense=cad[7],
+            )
+        if count % rst_every == 0 and not do_update:
+            visible = jnp.any(
+                occ_ref[:n_win] & win["valid"][:, None], axis=0
+            )
+            p_ref, o_ref = G.reset_opacity_nonvisible(p_ref, o_ref, visible)
+    assert int(a_ref.active.sum()) != 96  # events actually mutated the map
+
+    # --- chunked path with on-device cadence ------------------------------
+    fn = make_mapping_chunk(
+        settings, n_slots, n_iters, False, LR_CFG, None, cad
+    )
+    (p_c, o_c, a_c, wr_c, wt_c, wea_c, web_c, _pstate,
+     occ_c, losses, ovf, cap_ovf) = fn(
+        params, opt, aux, proj,
+        win["r"], win["t"], win["ea"], win["eb"],
+        win["imgs"], win["deps"], win["langs"], win["valid"], win["lang_on"],
+        pose_opt, exp_opt,
+        (z3, z3, zs, zs), (z3, z3, zs, zs), zs,
+        stack_imgs, stack_deps, stack_langs, stack_lang_on,
+        rand_rows, rand_valid, rand_r, rand_t, rand_ea, rand_eb,
+        jnp.float32(0.0), fixed_lrs, lw, base_key,
+    )
+
+    # Discrete state must match EXACTLY (same events, same keys, same
+    # allocation); float state tolerates reassociation drift between the
+    # fused chunk program and the separate host-path programs (amplified
+    # through Adam's sqrt/eps).
+    def close(a, b, name, tol):
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            la, lb = jnp.asarray(la), jnp.asarray(lb)
+            if la.size == 0:
+                continue
+            if la.dtype == bool or jnp.issubdtype(la.dtype, jnp.integer):
+                assert (la == lb).all(), name
+            else:
+                d = float(jnp.abs(la.astype(jnp.float32)
+                                  - lb.astype(jnp.float32)).max())
+                assert d < tol, (name, d)
+
+    assert (a_ref.active == a_c.active).all()
+    close(p_ref, p_c, "params", 5e-3)
+    close(o_ref, o_c, "opt", 5e-3)
+    close(a_ref, a_c, "aux", 5e-3)
+    close((wr, wt, wea, web), (wr_c, wt_c, wea_c, web_c), "window poses",
+          5e-3)
+    assert not bool(ovf) and not bool(cap_ovf)
