@@ -1,15 +1,23 @@
-"""Isosurface meshing of TSDF volumes (naive Surface Nets).
+"""Isosurface meshing of TSDF volumes: marching cubes + Surface Nets.
 
 The reference extracts meshes with skimage marching cubes
-(/root/reference/tsdf-fusion/fusion.py:295-320). Here we use naive
-Surface Nets — one vertex per sign-changing cell placed at the centroid
-of its edge crossings, one quad (two triangles) per volume edge with a
-sign change — which produces watertight, comparable-quality meshes from
-the same volumes with ~50 lines of vectorized numpy instead of the MC
-case tables. Per-vertex features are sampled from the feature volume.
+(/root/reference/tsdf-fusion/fusion.py:295-320). `marching_cubes` here is
+the default extractor: vertices sit exactly at the linear-interpolation
+zero crossings of grid edges (identical placement to skimage), topology
+comes from the classic per-cell case table. Rather than transcribing the
+256-entry Lorensen table, the table is CONSTRUCTED at import from first
+principles — per configuration, contour segments on each cube face
+(ambiguous 4-crossing faces resolved by isolating the positive corners,
+a fixed face-local rule shared by both cells of the face, so meshes stay
+watertight), chained into closed polygons, oriented outward, and
+fan-triangulated. `surface_nets` (one centroid vertex per sign-changing
+cell) is kept as the lighter alternative. Per-vertex features are
+sampled from the feature volume.
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
@@ -22,6 +30,187 @@ _EDGES = np.array(
     [[0, 1], [2, 3], [4, 5], [6, 7], [0, 2], [1, 3], [4, 6], [5, 7],
      [0, 4], [1, 5], [2, 6], [3, 7]]
 )
+
+
+# Cube faces as cyclically ordered corner quads (corner index = x+2y+4z).
+_FACE_LOOPS = [
+    (0, 2, 6, 4),  # x = 0
+    (1, 3, 7, 5),  # x = 1
+    (0, 1, 5, 4),  # y = 0
+    (2, 3, 7, 6),  # y = 1
+    (0, 1, 3, 2),  # z = 0
+    (4, 5, 7, 6),  # z = 1
+]
+
+_EDGE_OF_PAIR = {
+    (min(a, b), max(a, b)): e for e, (a, b) in enumerate(_EDGES)
+}
+
+
+def _config_triangles(config: int):
+    """Triangulation (list of local-edge-index triples) for one corner-sign
+    configuration. bit c of `config` set <=> corner c is positive (> level).
+
+    Per face, contour segments pair the crossed edges bounding each
+    cyclically-contiguous run of positive corners (on an ambiguous
+    alternating face this isolates the positive corners). Every crossed
+    edge lies on two faces -> two segment partners -> the segments chain
+    into disjoint closed polygons. Each polygon is oriented so its normal
+    points toward the positive side, then fan-triangulated."""
+    pos = [(config >> c) & 1 == 1 for c in range(8)]
+    if all(pos) or not any(pos):
+        return []
+
+    # Segment partners per crossed edge.
+    partners: dict[int, list[int]] = {}
+    for loop in _FACE_LOOPS:
+        k = len(loop)
+        # Crossed edge after corner i (between loop[i] and loop[i+1]).
+        crossed = [
+            _EDGE_OF_PAIR[
+                (min(loop[i], loop[(i + 1) % k]),
+                 max(loop[i], loop[(i + 1) % k]))
+            ] if pos[loop[i]] != pos[loop[(i + 1) % k]] else None
+            for i in range(k)
+        ]
+        # Runs of positive corners: segment connects the crossed edge
+        # entering the run with the one leaving it.
+        for i in range(k):
+            if pos[loop[i]] and not pos[loop[i - 1]]:
+                j = i
+                while pos[loop[(j + 1) % k]]:
+                    j += 1
+                e_in = crossed[(i - 1) % k]
+                e_out = crossed[j % k]
+                partners.setdefault(e_in, []).append(e_out)
+                partners.setdefault(e_out, []).append(e_in)
+
+    # Chain segments into closed polygons.
+    mid = {
+        e: (_CORNERS[a] + _CORNERS[b]) / 2.0 for e, (a, b) in enumerate(_EDGES)
+    }
+    unvisited = set(partners)
+    tris = []
+    while unvisited:
+        start = min(unvisited)
+        cycle = [start]
+        prev, cur = None, start
+        while True:
+            a, b = partners[cur]
+            nxt = b if a == prev else a
+            if nxt == start:
+                break
+            cycle.append(nxt)
+            prev, cur = cur, nxt
+        unvisited -= set(cycle)
+        pts = [mid[e] for e in cycle]
+        # Newell normal of the polygon.
+        nrm = np.zeros(3)
+        for i in range(len(pts)):
+            p0, p1 = pts[i], pts[(i + 1) % len(pts)]
+            nrm += np.cross(p0, p1)
+        # Orient toward the positive side: across each of THIS cycle's
+        # crossed edges the implicit function increases negative->positive
+        # corner, so the outward normal has positive dot with that edge
+        # direction; sum over the cycle's own edges (a global +/- centroid
+        # difference degenerates on symmetric configs).
+        outward = np.zeros(3)
+        for e in cycle:
+            a, b = _EDGES[e]
+            p_c, n_c = (a, b) if pos[a] else (b, a)
+            outward = outward + (_CORNERS[p_c] - _CORNERS[n_c])
+        if float(np.dot(nrm, outward)) < 0.0:
+            cycle.reverse()
+        for i in range(1, len(cycle) - 1):
+            tris.append((cycle[0], cycle[i], cycle[i + 1]))
+    return tris
+
+
+@functools.cache
+def _mc_tables():
+    """(256, MAXT, 3) int8 triangle table (local edge indices, -1 pad)."""
+    per_cfg = [_config_triangles(cfg) for cfg in range(256)]
+    maxt = max(len(t) for t in per_cfg)
+    table = np.full((256, maxt, 3), -1, np.int8)
+    for cfg, tris in enumerate(per_cfg):
+        for i, tri in enumerate(tris):
+            table[cfg, i] = tri
+    return table
+
+
+def marching_cubes(tsdf: np.ndarray, weights: np.ndarray | None = None,
+                   level: float = 0.0):
+    """Classic marching cubes. tsdf: (X, Y, Z) signed distance grid →
+    (verts (V,3) in voxel coords, faces (F,3) int, facing the positive
+    side). Vertices are the linear-interpolation zero crossings of grid
+    edges — the same placement as skimage.measure.marching_cubes
+    (/root/reference/tsdf-fusion/fusion.py:307). Unobserved voxels
+    (weight 0) are treated as outside and, as in `surface_nets`, only
+    fully-observed cells emit geometry (no phantom truncation shell)."""
+    vol = tsdf.astype(np.float32).copy()
+    observed = np.ones(vol.shape, bool) if weights is None else weights > 0
+    vol[~observed] = 1.0
+    x, y, z = vol.shape
+    dims = np.array([x, y, z])
+
+    # Global edge-crossing vertices, one id grid per axis.
+    eids, verts = [], []
+    n_total = 0
+    for axis in range(3):
+        sl0 = tuple(slice(0, d - (1 if a == axis else 0))
+                    for a, d in enumerate(dims))
+        sl1 = tuple(slice(1 if a == axis else 0, None)
+                    for a in range(3))
+        v0, v1 = vol[sl0], vol[sl1]
+        cross = (v0 > level) != (v1 > level)
+        eid = np.full(v0.shape, -1, np.int64)
+        n = int(cross.sum())
+        eid[cross] = n_total + np.arange(n)
+        n_total += n
+        base = np.argwhere(cross).astype(np.float64)
+        t = (level - v0[cross]) / (v1[cross] - v0[cross])
+        base[:, axis] += t
+        eids.append(eid)
+        verts.append(base)
+    verts = (np.concatenate(verts, axis=0) if n_total
+             else np.zeros((0, 3)))
+
+    # Per-cell corner signs / observedness.
+    corners = np.stack(
+        [vol[dx: x - 1 + dx, dy: y - 1 + dy, dz: z - 1 + dz]
+         for dx, dy, dz in _CORNERS], axis=-1)
+    obs_c = np.stack(
+        [observed[dx: x - 1 + dx, dy: y - 1 + dy, dz: z - 1 + dz]
+         for dx, dy, dz in _CORNERS], axis=-1)
+    signs = corners > level
+    active = signs.any(-1) & ~signs.all(-1) & obs_c.all(-1)
+    cells = np.argwhere(active)
+    if len(cells) == 0:
+        return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
+    config = (signs[active] << np.arange(8)).sum(-1)
+
+    # Local edge -> global vertex id, per active cell. Edge e runs from
+    # corner a along its axis; its crossing lives at cell + _CORNERS[a]
+    # in that axis' id grid.
+    cell_edges = np.empty((len(cells), 12), np.int64)
+    for e, (a, b) in enumerate(_EDGES):
+        axis = int(np.argmax(_CORNERS[b] - _CORNERS[a]))
+        at = cells + _CORNERS[a]
+        cell_edges[:, e] = eids[axis][at[:, 0], at[:, 1], at[:, 2]]
+
+    table = _mc_tables()
+    tris = table[config]                       # (N, MAXT, 3) local edges
+    valid = tris[:, :, 0] >= 0
+    tri_edges = tris[valid]                    # (F, 3)
+    rows = np.broadcast_to(
+        np.arange(len(cells))[:, None], valid.shape)[valid]
+    faces = cell_edges[rows[:, None], tri_edges]
+    # Compact: crossings on edges of non-emitting cells (e.g. the
+    # truncation back shell) are never referenced — drop them.
+    used = np.unique(faces)
+    remap = np.full(n_total, -1, np.int64)
+    remap[used] = np.arange(len(used))
+    return verts[used], remap[faces]
 
 
 def surface_nets(tsdf: np.ndarray, weights: np.ndarray | None = None,
@@ -98,11 +287,15 @@ def surface_nets(tsdf: np.ndarray, weights: np.ndarray | None = None,
     return verts, faces
 
 
-def extract_mesh(volume, level: float = 0.0):
-    """TSDFVolume → (verts world coords, faces, per-vertex features)."""
+def extract_mesh(volume, level: float = 0.0, method: str = "marching_cubes"):
+    """TSDFVolume → (verts world coords, faces, per-vertex features).
+
+    method: "marching_cubes" (default — reference-matching vertex
+    placement, fusion.py:295-340) or "surface_nets"."""
     tsdf, feats = volume.get_volume()
     w = np.asarray(volume.weights).reshape(volume.dims)
-    verts, faces = surface_nets(tsdf, w, level)
+    mesher = marching_cubes if method == "marching_cubes" else surface_nets
+    verts, faces = mesher(tsdf, w, level)
     vi = np.clip(np.round(verts).astype(int), 0, np.asarray(volume.dims) - 1)
     vfeat = feats[:, vi[:, 0], vi[:, 1], vi[:, 2]].T
     world = volume.origin + (verts + 0.5) * volume.voxel_size
