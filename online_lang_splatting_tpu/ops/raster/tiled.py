@@ -227,41 +227,48 @@ def _fwd_kernel(
                     done_s[...] = jnp.zeros_like(done_s)
                     nc_s[...] = jnp.zeros_like(nc_s)
 
-                a = _chunk_alpha(
-                    geom_ref[...], t, tiles_x, tile, pix,
-                    row_lo=j0, row_hi=j1,
-                )
-                cum_t, test_t, contrib, w, t_new, done_new = _composite(
-                    a["alpha"], a["skip"], t_s[...], done_s[...]
-                )
-                acc_s[...] += jax.lax.dot_general(
-                    feat_ref[...], w, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                # py limit is DYNAMIC (scalar prefetch): a band-parallel
-                # caller renders a strip whose valid-row count depends on
-                # the band index (parallel/tile_shard.py); single-device
-                # callers pass the static image height.
-                pix_ok = (
-                    a["in_tile"] & (a["px"] < width) & (a["py"] < lim)
-                )
-                touched = contrib & (test_t > C.N_TOUCHED_T) & pix_ok
-                nt_s[pl.ds(nt_row, 1), :] += jnp.sum(
-                    touched, axis=1, dtype=jnp.int32
-                ).reshape(1, CHUNK)
-                # last-contributor index within the tile's instance
-                # sequence (1-based, 0 = none) — the CUDA kernels'
-                # n_contrib (forward.cu:515-644).
-                glob = (
-                    _row_iota(contrib.shape) + 1 + (base - t_start)
-                ).astype(jnp.float32)
-                cand = jnp.max(
-                    jnp.where(contrib, glob, 0.0), axis=0, keepdims=True
-                )
-                nc_s[...] = jnp.maximum(nc_s[...], cand)
-                t_s[...] = t_new
-                done_s[...] = done_new
+                # Dead-tail skip: once every pixel of the tile has
+                # terminated (T < eps), later segments provably contribute
+                # nothing (contrib ≡ 0 leaves acc/T/done/nt unchanged) —
+                # skip their VPU math. Depth-sorted saturated tiles spend
+                # most late chunks in this state.
+                @pl.when(jnp.min(done_s[...]) < 0.5)
+                def _():
+                    a = _chunk_alpha(
+                        geom_ref[...], t, tiles_x, tile, pix,
+                        row_lo=j0, row_hi=j1,
+                    )
+                    cum_t, test_t, contrib, w, t_new, done_new = _composite(
+                        a["alpha"], a["skip"], t_s[...], done_s[...]
+                    )
+                    acc_s[...] += jax.lax.dot_general(
+                        feat_ref[...], w, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    # py limit is DYNAMIC (scalar prefetch): a band-parallel
+                    # caller renders a strip whose valid-row count depends on
+                    # the band index (parallel/tile_shard.py); single-device
+                    # callers pass the static image height.
+                    pix_ok = (
+                        a["in_tile"] & (a["px"] < width) & (a["py"] < lim)
+                    )
+                    touched = contrib & (test_t > C.N_TOUCHED_T) & pix_ok
+                    nt_s[pl.ds(nt_row, 1), :] += jnp.sum(
+                        touched, axis=1, dtype=jnp.int32
+                    ).reshape(1, CHUNK)
+                    # last-contributor index within the tile's instance
+                    # sequence (1-based, 0 = none) — the CUDA kernels'
+                    # n_contrib (forward.cu:515-644).
+                    glob = (
+                        _row_iota(contrib.shape) + 1 + (base - t_start)
+                    ).astype(jnp.float32)
+                    cand = jnp.max(
+                        jnp.where(contrib, glob, 0.0), axis=0, keepdims=True
+                    )
+                    nc_s[...] = jnp.maximum(nc_s[...], cand)
+                    t_s[...] = t_new
+                    done_s[...] = done_new
 
                 # The tile is complete when the segment ends inside the
                 # chunk (sorted order: it never reappears), or at the
@@ -349,55 +356,59 @@ def _bwd_kernel(
                         g_s[...] * ar_s[...], axis=0, keepdims=True
                     )
 
-                a = _chunk_alpha(
-                    geom_ref[...], t, tiles_x, tile, pix,
-                    row_lo=j0, row_hi=j1,
-                )
-                alpha, skip = a["alpha"], a["skip"]
-                cum_t, test_t, contrib, w, t_new, done_new = _composite(
-                    alpha, skip, t_s[...], done_s[...]
-                )
-                g_img = g_s[...]  # (f_pad, pix)
-                # G_j[p] = sum_f feat[f, j] * g[f, p]
-                gdot = jax.lax.dot_general(
-                    feat_ref[...], g_img, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (CHUNK, pix)
-                wg = w * gdot
-                prefix_incl = _prefix_sum_incl(wg)
-                suffix = carry_s[...] - prefix_incl  # future wG + T·gT
-                dalpha = jnp.where(
-                    contrib, cum_t * gdot - suffix / (1.0 - alpha), 0.0
-                )
-                not_clamped = a["alpha_raw"] < C.ALPHA_MAX
-                dpower = jnp.where(not_clamped, dalpha * alpha, 0.0)
-                expp = jnp.exp(a["power"])
-                dop = jnp.sum(
-                    jnp.where(not_clamped, dalpha * expp, 0.0), axis=1
-                )
-                dx, dy = a["dx"], a["dy"]
-                gt = geom_ref[...].T
-                ca, cb, cc = gt[:, 2:3], gt[:, 3:4], gt[:, 4:5]
-                dca = jnp.sum(dpower * (-0.5) * dx * dx, axis=1)
-                dcb = jnp.sum(dpower * (-dx * dy), axis=1)
-                dcc = jnp.sum(dpower * (-0.5) * dy * dy, axis=1)
-                dxg = jnp.sum(dpower * (-(ca * dx + cb * dy)), axis=1)
-                dyg = jnp.sum(dpower * (-(cc * dy + cb * dx)), axis=1)
-                zeros = jnp.zeros_like(dop)
-                dg_s[...] += jnp.stack(
-                    [dxg, dyg, dca, dcb, dcc, dop, zeros, zeros], axis=0
-                )
-                df_s[...] += jax.lax.dot_general(
-                    g_img, w, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (f_pad, CHUNK)
-                carry_s[...] = carry_s[...] - jnp.sum(
-                    wg, axis=0, keepdims=True
-                )
-                t_s[...] = t_new
-                done_s[...] = done_new
+                # Dead-tail skip (matches the forward): fully-terminated
+                # tiles yield zero grads and unchanged carry/T/done.
+                @pl.when(jnp.min(done_s[...]) < 0.5)
+                def _():
+                    a = _chunk_alpha(
+                        geom_ref[...], t, tiles_x, tile, pix,
+                        row_lo=j0, row_hi=j1,
+                    )
+                    alpha, skip = a["alpha"], a["skip"]
+                    cum_t, test_t, contrib, w, t_new, done_new = _composite(
+                        alpha, skip, t_s[...], done_s[...]
+                    )
+                    g_img = g_s[...]  # (f_pad, pix)
+                    # G_j[p] = sum_f feat[f, j] * g[f, p]
+                    gdot = jax.lax.dot_general(
+                        feat_ref[...], g_img, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (CHUNK, pix)
+                    wg = w * gdot
+                    prefix_incl = _prefix_sum_incl(wg)
+                    suffix = carry_s[...] - prefix_incl  # future wG + T·gT
+                    dalpha = jnp.where(
+                        contrib, cum_t * gdot - suffix / (1.0 - alpha), 0.0
+                    )
+                    not_clamped = a["alpha_raw"] < C.ALPHA_MAX
+                    dpower = jnp.where(not_clamped, dalpha * alpha, 0.0)
+                    expp = jnp.exp(a["power"])
+                    dop = jnp.sum(
+                        jnp.where(not_clamped, dalpha * expp, 0.0), axis=1
+                    )
+                    dx, dy = a["dx"], a["dy"]
+                    gt = geom_ref[...].T
+                    ca, cb, cc = gt[:, 2:3], gt[:, 3:4], gt[:, 4:5]
+                    dca = jnp.sum(dpower * (-0.5) * dx * dx, axis=1)
+                    dcb = jnp.sum(dpower * (-dx * dy), axis=1)
+                    dcc = jnp.sum(dpower * (-0.5) * dy * dy, axis=1)
+                    dxg = jnp.sum(dpower * (-(ca * dx + cb * dy)), axis=1)
+                    dyg = jnp.sum(dpower * (-(cc * dy + cb * dx)), axis=1)
+                    zeros = jnp.zeros_like(dop)
+                    dg_s[...] += jnp.stack(
+                        [dxg, dyg, dca, dcb, dcc, dop, zeros, zeros], axis=0
+                    )
+                    df_s[...] += jax.lax.dot_general(
+                        g_img, w, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (f_pad, CHUNK)
+                    carry_s[...] = carry_s[...] - jnp.sum(
+                        wg, axis=0, keepdims=True
+                    )
+                    t_s[...] = t_new
+                    done_s[...] = done_new
                 return j1
 
             return jax.lax.cond(
