@@ -40,7 +40,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .preprocess import Preprocessed
+from . import config as C
+from .preprocess import Preprocessed, tile_keeps_instance
 
 
 class Binning(NamedTuple):
@@ -86,9 +87,10 @@ class SortedBinning(NamedTuple):
 
 
 def _sorted_core(prep: Preprocessed, tiles_x: int, tiles_y: int,
-                 cap: int):
+                 cap: int, tile_px: int):
     """Shared front half of both binning layouts: depth pre-sort,
-    instance expansion, single-u32-key tile sort, per-tile ranges.
+    instance expansion with the exact (Gaussian, tile) alpha cull,
+    single-u32-key tile sort, per-tile ranges.
     Returns (s_tile, s_gid, starts, counts, total)."""
     num_tiles = tiles_x * tiles_y
     p = prep.depth.shape[0]
@@ -111,6 +113,15 @@ def _sorted_core(prep: Preprocessed, tiles_x: int, tiles_y: int,
                 jnp.float32
             ),
             jnp.arange(p, dtype=jnp.float32),
+            # Geometry for the per-(Gaussian, tile) alpha cull; rides the
+            # jump-carry (an instance-sized gather of these would cost
+            # ~8-12 ms/M — carrying rows costs ~0.2 ms/M each).
+            prep.xy[:, 0],
+            prep.xy[:, 1],
+            prep.conic[:, 0],
+            prep.conic[:, 1],
+            prep.conic[:, 2],
+            prep.opacity,
         ],
         axis=1,
     )
@@ -120,18 +131,26 @@ def _sorted_core(prep: Preprocessed, tiles_x: int, tiles_y: int,
 
     inst = jnp.arange(cap, dtype=jnp.int32)
     start_idx = jnp.where(tt_s > 0, offsets, cap)
-    vals = jnp.full((5, cap), -1.0, jnp.float32).at[:, start_idx].set(
-        gtab_s.T, mode="drop"
-    )
-    # Manual Hillis-Steele jump-carry (log2(cap) flat shift+select passes).
+    vals = jnp.full((gtab_s.shape[1], cap), -1.0, jnp.float32).at[
+        :, start_idx
+    ].set(gtab_s.T, mode="drop")
+    # Manual Hillis-Steele jump-carry (flat shift+select passes).
     # NOT lax.associative_scan: its recursive odd/even lowering hangs the
     # TPU compiler at 1M-element scale (reproduced in isolation).
+    # The carry condition keys on row 0 (the offset, always >= 0 when
+    # set) — later rows (xy, conic b) are legitimately negative.
+    # Passes are bounded by the longest possible run, which is one
+    # Gaussian's tiles_touched <= num_tiles (rects are screen-clamped),
+    # NOT cap: ~12 passes instead of 20 at the 1M bucket. The padding
+    # tail past `total` may stay unfilled (-1 rows) — every consumer
+    # masks it with `inst < total`.
+    max_run = min(cap, num_tiles)
     s = 1
-    while s < cap:
+    while s < max_run:
         shifted = jnp.pad(
             vals, ((0, 0), (s, 0)), constant_values=-1.0
         )[:, :cap]
-        vals = jnp.where(vals >= 0.0, vals, shifted)
+        vals = jnp.where(vals[0:1] >= 0.0, vals, shifted)
         s *= 2
     rows = vals.T
     local = inst - rows[:, 0].astype(jnp.int32)
@@ -146,9 +165,21 @@ def _sorted_core(prep: Preprocessed, tiles_x: int, tiles_y: int,
         lx = local % width
     tx = rows[:, 1].astype(jnp.int32) + lx
     ty = rows[:, 2].astype(jnp.int32) + ly
-    tile = ty * tiles_x + tx
-    inst_valid = inst < total
-    tile = jnp.where(inst_valid, tile, num_tiles)
+    tile_id = ty * tiles_x + tx
+    # Exact per-(Gaussian, tile) alpha cull: the rect expansion emits the
+    # full bounding rect of the 3σ circle, but for anisotropic splats
+    # 30-50% of those tiles can never see alpha >= ALPHA_MIN — provably
+    # inert in the blend. Culled instances take the sentinel tile and
+    # sort to the end with the padding.
+    keep = tile_keeps_instance(
+        rows[:, 5], rows[:, 6], rows[:, 7], rows[:, 8], rows[:, 9],
+        rows[:, 10],
+        (tx * tile_px).astype(jnp.float32),
+        (ty * tile_px).astype(jnp.float32),
+        tile_px,
+    )
+    inst_valid = (inst < total) & keep
+    tile = jnp.where(inst_valid, tile_id, num_tiles)
     orig = jnp.where(inst_valid, rows[:, 4].astype(jnp.int32), -1)
 
     inst_bits = max((cap - 1).bit_length(), 1)
@@ -175,6 +206,7 @@ def bin_gaussians_sorted(
     tiles_y: int,
     max_instances: int,
     chunk: int = 256,
+    tile_px: int = C.DEFAULT_TILE,
 ) -> SortedBinning:
     """Compact binning (see SortedBinning). `max_instances` must be a
     multiple of 8*chunk (callers round up)."""
@@ -184,7 +216,7 @@ def bin_gaussians_sorted(
     num_chunks = cap // chunk
 
     s_tile, s_gid, starts, counts, total = _sorted_core(
-        prep, tiles_x, tiles_y, cap
+        prep, tiles_x, tiles_y, cap, tile_px
     )
 
     bounds = jnp.arange(1, num_chunks + 1, dtype=jnp.int32) * chunk
@@ -216,6 +248,7 @@ def bin_gaussians(
     tiles_y: int,
     max_instances: int,
     chunk: int = 128,
+    tile_px: int = C.DEFAULT_TILE,
 ) -> Binning:
     num_tiles = tiles_x * tiles_y
     cap = max_instances
@@ -223,7 +256,7 @@ def bin_gaussians(
     num_chunks = slot_cap // chunk
 
     s_tile, s_gid, starts, counts, total = _sorted_core(
-        prep, tiles_x, tiles_y, cap
+        prep, tiles_x, tiles_y, cap, tile_px
     )
     inst = jnp.arange(cap, dtype=jnp.int32)
     inst_valid = inst < total

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from . import config as C
-from .preprocess import Preprocessed
+from .preprocess import Preprocessed, tile_keeps_instance
 
 
 class BlendOutput(NamedTuple):
@@ -84,6 +84,15 @@ def blend_oracle(
             & (tile_xy[:, 1] >= g_rmin[1])
             & (tile_xy[:, 1] < g_rmax[1])
             & g_valid
+        )
+        # The binning culls (Gaussian, tile) instances no pixel of the
+        # tile can see at alpha >= ALPHA_MIN (exact, shared helper) —
+        # mirror it so per-tile instance sequences (n_contrib) match.
+        in_rect = in_rect & tile_keeps_instance(
+            g_xy[0], g_xy[1], g_conic[0], g_conic[1], g_conic[2], g_op,
+            (tile_xy[:, 0] * tile).astype(jnp.float32),
+            (tile_xy[:, 1] * tile).astype(jnp.float32),
+            tile,
         )
         d = g_xy[None, :] - pix  # (N, 2)
         power = (

@@ -34,9 +34,54 @@ class Preprocessed(NamedTuple):
     opacity: jax.Array    # (P,)
     color: jax.Array      # (P, 3)
     radius: jax.Array     # (P,) int32 screen radius (0 when culled)
-    rect_min: jax.Array   # (P, 2) int32 inclusive tile rect start (x, y)
-    rect_max: jax.Array   # (P, 2) int32 exclusive tile rect end (x, y)
-    tiles_touched: jax.Array  # (P,) int32
+    rect_min: jax.Array   # (P, 2) int32 inclusive EMISSION rect start (x, y)
+    rect_max: jax.Array   # (P, 2) int32 exclusive emission rect end — the
+                          # 3σ circle rect ∩ the alpha>=ALPHA_MIN ellipse AABB
+    tiles_touched: jax.Array  # (P,) int32 emission-rect tile count
+
+
+def tile_min_power(x, y, ca, cb, cc, x0, y0, tile: int):
+    """Exact min of Q(d) = 0.5·(ca·dx² + cc·dy²) + cb·dx·dy over the
+    tile's pixel box [x0, x0+tile-1] × [y0, y0+tile-1], with
+    d = (x - px, y - py). The blend alpha is op·exp(-Q), so this bounds
+    the best alpha any pixel of the tile can see. Exact for PSD conics:
+    the min is 0 when the center lies in the box, else it sits on one of
+    the 4 edges, where the 1-D restriction is a convex quadratic whose
+    clamped vertex is the exact minimizer."""
+    hx = x - x0
+    lx = x - (x0 + (tile - 1.0))
+    hy = y - y0
+    ly = y - (y0 + (tile - 1.0))
+    inside = (lx <= 0.0) & (hx >= 0.0) & (ly <= 0.0) & (hy >= 0.0)
+
+    def qval(dx, dy):
+        return 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+
+    def edge_x(dxf):  # dx fixed at a box face, minimize over dy
+        dy = jnp.clip(jnp.where(cc != 0.0, -cb * dxf / cc, 0.0), ly, hy)
+        return qval(dxf, dy)
+
+    def edge_y(dyf):
+        dx = jnp.clip(jnp.where(ca != 0.0, -cb * dyf / ca, 0.0), lx, hx)
+        return qval(dx, dyf)
+
+    q = jnp.minimum(
+        jnp.minimum(edge_x(lx), edge_x(hx)),
+        jnp.minimum(edge_y(ly), edge_y(hy)),
+    )
+    return jnp.where(inside, 0.0, q)
+
+
+def tile_keeps_instance(x, y, ca, cb, cc, op, x0, y0, tile: int):
+    """True when some pixel of the tile can see alpha >= ALPHA_MIN from
+    this Gaussian — the exact (Gaussian, tile) cull shared by the binning
+    expansion and the oracle. Instances failing this are provably inert
+    in the blend (every pixel skips them), so dropping them changes no
+    output except the n_contrib per-tile indexing. The +1e-3 margin keeps
+    borderline instances so per-pixel float rounding in the kernels can
+    never disagree with the cull."""
+    q = tile_min_power(x, y, ca, cb, cc, x0, y0, tile)
+    return q <= jnp.log(jnp.maximum(op, 1e-12) / C.ALPHA_MIN) + 1e-3
 
 
 def quat_to_rotmat(q: jax.Array) -> jax.Array:
@@ -203,6 +248,8 @@ def preprocess(
         px, py = xy[..., 0], xy[..., 1]
 
     # Tile rect (auxiliary.h getRect): int-cast toward zero then clamp.
+    # This is the reference's 3σ-circle rect — it alone defines `valid`
+    # (radii > 0 visibility semantics) and the `radius` output.
     rect_min_x = jnp.clip(((px - radius) / tile).astype(jnp.int32), 0, tiles_x)
     rect_min_y = jnp.clip(((py - radius) / tile).astype(jnp.int32), 0, tiles_y)
     rect_max_x = jnp.clip(((px + radius + tile - 1) / tile).astype(jnp.int32), 0, tiles_x)
@@ -212,6 +259,45 @@ def preprocess(
     )
 
     valid = in_front & det_ok & (tiles_touched > 0)
+
+    # Emission rect: intersect the circle rect with the exact
+    # alpha >= ALPHA_MIN ellipse AABB. The blend skips any pixel with
+    # alpha = op·exp(-Q) < ALPHA_MIN, and min over dy of Q at offset dx
+    # is dx²/(2·cov_xx) — so pixels with |dx| > sqrt(2τ·cov_xx),
+    # τ = log(op/ALPHA_MIN), are provably inert (same for dy/cov_yy).
+    # Intersecting (never replacing) keeps the emission rect a SUBSET of
+    # the reference rect: outputs are pixel-identical, only n_contrib's
+    # per-tile indexing shifts. Opacity-aware: faint Gaussians emit far
+    # fewer instances; op < ALPHA_MIN emits none. The +tile (not
+    # +tile-1) end and +1e-2 px margin keep the AABB conservative — the
+    # binning's exact per-tile cull prunes any overhang. PSD guard:
+    # indefinite covariances (det < 0) keep the circle rect.
+    op_flat = opacities.reshape(-1)
+    tau = 2.0 * jnp.log(jnp.maximum(op_flat, 1e-12) / C.ALPHA_MIN)
+    psd = det > 0.0
+    ex = jnp.sqrt(jnp.maximum(tau * cov[..., 0], 0.0)) + 1e-2
+    ey = jnp.sqrt(jnp.maximum(tau * cov[..., 2], 0.0)) + 1e-2
+    big = jnp.float32(2.0 * (tiles_x + tiles_y) * tile)
+    ex = jnp.where(psd, ex, big)
+    ey = jnp.where(psd, ey, big)
+    emin_x = jnp.maximum(
+        rect_min_x, jnp.clip(((px - ex) / tile).astype(jnp.int32), 0, tiles_x)
+    )
+    emin_y = jnp.maximum(
+        rect_min_y, jnp.clip(((py - ey) / tile).astype(jnp.int32), 0, tiles_y)
+    )
+    emax_x = jnp.minimum(
+        rect_max_x, jnp.clip(((px + ex + tile) / tile).astype(jnp.int32), 0, tiles_x)
+    )
+    emax_y = jnp.minimum(
+        rect_max_y, jnp.clip(((py + ey + tile) / tile).astype(jnp.int32), 0, tiles_y)
+    )
+    inert = psd & (op_flat < C.ALPHA_MIN)
+    emit_touched = jnp.where(
+        inert,
+        0,
+        jnp.maximum(emax_x - emin_x, 0) * jnp.maximum(emax_y - emin_y, 0),
+    )
 
     if colors_precomp is not None:
         color = colors_precomp
@@ -227,7 +313,9 @@ def preprocess(
         opacity=opacities.reshape(-1),
         color=color,
         radius=jnp.where(valid, radius, 0).astype(jnp.int32),
-        rect_min=jnp.stack([rect_min_x, rect_min_y], -1),
-        rect_max=jnp.stack([rect_max_x, rect_max_y], -1),
-        tiles_touched=jnp.where(valid, tiles_touched, zero_i).astype(jnp.int32),
+        rect_min=jnp.stack([emin_x, emin_y], -1),
+        rect_max=jnp.stack([emax_x, emax_y], -1),
+        tiles_touched=jnp.where(
+            valid, emit_touched, zero_i
+        ).astype(jnp.int32),
     )

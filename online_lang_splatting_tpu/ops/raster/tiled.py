@@ -671,7 +671,7 @@ def blend_tiled(
 
     binning = bin_gaussians_sorted(
         prep, tiles_x=tiles_x, tiles_y=tiles_y,
-        max_instances=max_instances, chunk=chunk,
+        max_instances=max_instances, chunk=chunk, tile_px=tile,
     )
     lang = (
         language_features
