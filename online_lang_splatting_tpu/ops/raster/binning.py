@@ -105,26 +105,27 @@ def _sorted_core(prep: Preprocessed, tiles_x: int, tiles_y: int,
     total = cum[-1]
     offsets = (cum - tt_s).astype(jnp.int32)
 
-    gtab = jnp.stack(
-        [
-            prep.rect_min[:, 0].astype(jnp.float32),
-            prep.rect_min[:, 1].astype(jnp.float32),
-            jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1).astype(
-                jnp.float32
-            ),
-            jnp.arange(p, dtype=jnp.float32),
-            # Geometry for the per-(Gaussian, tile) alpha cull; rides the
-            # jump-carry (an instance-sized gather of these would cost
-            # ~8-12 ms/M — carrying rows costs ~0.2 ms/M each).
+    gtab_rows = [
+        prep.rect_min[:, 0].astype(jnp.float32),
+        prep.rect_min[:, 1].astype(jnp.float32),
+        jnp.maximum(prep.rect_max[:, 0] - prep.rect_min[:, 0], 1).astype(
+            jnp.float32
+        ),
+        jnp.arange(p, dtype=jnp.float32),
+    ]
+    if C.PER_TILE_CULL:
+        # Geometry for the per-(Gaussian, tile) alpha cull; rides the
+        # jump-carry (an instance-sized gather of these would cost
+        # ~8-12 ms/M — carrying rows costs ~0.2 ms/M each).
+        gtab_rows += [
             prep.xy[:, 0],
             prep.xy[:, 1],
             prep.conic[:, 0],
             prep.conic[:, 1],
             prep.conic[:, 2],
             prep.opacity,
-        ],
-        axis=1,
-    )
+        ]
+    gtab = jnp.stack(gtab_rows, axis=1)
     gtab_s = jnp.concatenate(
         [offsets[:, None].astype(jnp.float32), gtab[perm]], axis=1
     )
@@ -166,19 +167,21 @@ def _sorted_core(prep: Preprocessed, tiles_x: int, tiles_y: int,
     tx = rows[:, 1].astype(jnp.int32) + lx
     ty = rows[:, 2].astype(jnp.int32) + ly
     tile_id = ty * tiles_x + tx
-    # Exact per-(Gaussian, tile) alpha cull: the rect expansion emits the
-    # full bounding rect of the 3σ circle, but for anisotropic splats
-    # 30-50% of those tiles can never see alpha >= ALPHA_MIN — provably
-    # inert in the blend. Culled instances take the sentinel tile and
-    # sort to the end with the padding.
-    keep = tile_keeps_instance(
-        rows[:, 5], rows[:, 6], rows[:, 7], rows[:, 8], rows[:, 9],
-        rows[:, 10],
-        (tx * tile_px).astype(jnp.float32),
-        (ty * tile_px).astype(jnp.float32),
-        tile_px,
-    )
-    inst_valid = (inst < total) & keep
+    inst_valid = inst < total
+    if C.PER_TILE_CULL:
+        # Exact per-(Gaussian, tile) alpha cull: the emission rect is the
+        # ellipse AABB ∩ circle rect, but AABB corner tiles can still
+        # never see alpha >= ALPHA_MIN — provably inert in the blend.
+        # Culled instances take the sentinel tile and sort to the end
+        # with the padding.
+        keep = tile_keeps_instance(
+            rows[:, 5], rows[:, 6], rows[:, 7], rows[:, 8], rows[:, 9],
+            rows[:, 10],
+            (tx * tile_px).astype(jnp.float32),
+            (ty * tile_px).astype(jnp.float32),
+            tile_px,
+        )
+        inst_valid = inst_valid & keep
     tile = jnp.where(inst_valid, tile_id, num_tiles)
     orig = jnp.where(inst_valid, rows[:, 4].astype(jnp.int32), -1)
 

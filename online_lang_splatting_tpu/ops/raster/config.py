@@ -20,3 +20,11 @@ T_EPS = 1e-4
 NEAR_CLIP = 0.2
 LOWPASS = 0.3
 N_TOUCHED_T = 0.5
+
+# Exact per-(Gaussian, tile) alpha cull inside the binning expansion
+# (output-preserving; see preprocess.tile_keeps_instance). Trades ~6 extra
+# carried rows in the expansion's jump-carry for fewer active blend
+# chunks; the env toggle exists so hardware probes can A/B it.
+import os as _os
+
+PER_TILE_CULL = _os.environ.get("OLS_TILE_CULL", "1") != "0"

@@ -88,12 +88,13 @@ def blend_oracle(
         # The binning culls (Gaussian, tile) instances no pixel of the
         # tile can see at alpha >= ALPHA_MIN (exact, shared helper) —
         # mirror it so per-tile instance sequences (n_contrib) match.
-        in_rect = in_rect & tile_keeps_instance(
-            g_xy[0], g_xy[1], g_conic[0], g_conic[1], g_conic[2], g_op,
-            (tile_xy[:, 0] * tile).astype(jnp.float32),
-            (tile_xy[:, 1] * tile).astype(jnp.float32),
-            tile,
-        )
+        if C.PER_TILE_CULL:
+            in_rect = in_rect & tile_keeps_instance(
+                g_xy[0], g_xy[1], g_conic[0], g_conic[1], g_conic[2], g_op,
+                (tile_xy[:, 0] * tile).astype(jnp.float32),
+                (tile_xy[:, 1] * tile).astype(jnp.float32),
+                tile,
+            )
         d = g_xy[None, :] - pix  # (N, 2)
         power = (
             -0.5 * (g_conic[0] * d[:, 0] ** 2 + g_conic[2] * d[:, 1] ** 2)
