@@ -25,6 +25,8 @@ iteration, one device) remains as the equivalence oracle for tests.
 from __future__ import annotations
 
 import functools
+import os as _os
+import time
 from typing import Dict, List, Optional
 
 import jax
@@ -318,6 +320,7 @@ def make_mapping_chunk(
         fixed_lrs: G.LearningRates,
         lang_weight,
         base_key=None,                         # cadence mode only
+        n_live=None,                           # dynamic live-iteration count
     ):
         win_valid_f = win_valid.astype(jnp.float32)
         counts = iter0 + 1.0 + jnp.arange(n_iters, dtype=jnp.float32)
@@ -328,7 +331,7 @@ def make_mapping_chunk(
         )
         occ0 = jnp.zeros((n_slots, params.xyz.shape[0]), bool)
 
-        def body(carry, x):
+        def real_body(carry, x):
             (params, opt, aux, wr, wt, wea, web, pm, pv, pt, _occ) = carry
             (rows, rvalid, rr, rt, rea, reb, count, count_i) = x
             r_imgs = jnp.take(stack_imgs, rows, axis=0)
@@ -412,12 +415,37 @@ def make_mapping_chunk(
             )
             return carry, (loss, ovf, cap_ovf)
 
+        if n_live is None:
+            body = real_body
+        else:
+            # Live-masking: ONE program (grid length n_iters) serves every
+            # chunk length — partial chunks mask their tail instead of
+            # compiling/loading a separate shorter program (each fresh
+            # chunk program costs ~30-40 s compile / ~5-10 s cache load
+            # through the remote relay). Dead steps pass the carry
+            # through a lax.cond untouched.
+            def body(carry, x):
+                *xp, live = x
+
+                def skip(c):
+                    return c, (
+                        jnp.float32(0.0),
+                        jnp.zeros((), bool),
+                        jnp.zeros((), bool),
+                    )
+
+                return jax.lax.cond(
+                    live, lambda c: real_body(c, tuple(xp)), skip, carry
+                )
+
         carry0 = (
             params, opt, aux, win_r, win_t, win_ea, win_eb,
             pose_m, pose_v, pose_t, occ0,
         )
         xs = (rand_rows, rand_valid, rand_r, rand_t, rand_ea, rand_eb,
               counts, counts_i)
+        if n_live is not None:
+            xs = xs + (jnp.arange(n_iters, dtype=jnp.int32) < n_live,)
         (params, opt, aux, wr, wt, wea, web, pm, pv, pt, occ_vis), (
             losses, ovfs, cap_ovfs
         ) = jax.lax.scan(body, carry0, xs)
@@ -854,7 +882,8 @@ class BackEnd:
         )
 
     def _run_chunk(self, window, staged_window, rand_pool, n: int,
-                   lang_run: bool, init_mode: bool, cadence: bool = True):
+                   lang_run: bool, init_mode: bool, cadence: bool = True,
+                   n_live: int | None = None):
         """Dispatch one device-resident chunk of n mapping iterations, with
         overflow-redo (grow the instance pool / the Gaussian capacity and
         REPLAY the chunk before committing — no truncated-gradient or
@@ -882,6 +911,7 @@ class BackEnd:
         # One key per chunk; per-event keys derive via fold_in(iteration),
         # so an overflow REPLAY reruns the identical key schedule.
         self.rng, base_key = jax.random.split(self.rng)
+        t_chunk0 = time.time()
         for _attempt in range(4):
             args = (
                 self.params, self.opt, self.aux, self.proj,
@@ -899,7 +929,10 @@ class BackEnd:
             fn = make_mapping_chunk(
                 self.settings, n_slots, n, init_mode, lr_cfg, self.mesh, cad
             )
-            out = fn(*args)
+            if n_live is not None:
+                out = fn(*args, n_live=jnp.int32(n_live))
+            else:
+                out = fn(*args)
             # ONE batched host transfer for everything the host needs from
             # the chunk (overflow flags, window poses/exposures, occ
             # visibility): each separate fetch pays a full tunnel round
@@ -937,14 +970,26 @@ class BackEnd:
                     "committing truncated result — map quality may degrade.",
                     RuntimeWarning,
                 )
+        n_eff = n if n_live is None else n_live
+        if _os.environ.get("OLS_CHUNK_TIMING"):
+            print(
+                f"[chunk] n={n} live={n_eff} init={init_mode} "
+                f"bucket={self.settings.max_instances} cap={self.cap} "
+                f"dt={time.time() - t_chunk0:.2f}s", flush=True,
+            )
         (self.params, self.opt, self.aux, new_r, new_t, new_ea, new_eb,
          self.keyframe_optimizer_state, occ_vis, losses, _ovf,
          _cap_ovf) = out
         count0 = self.iteration_count
-        self.iteration_count += n
+        self.iteration_count += n_eff
         staged_window[0], staged_window[1] = new_r, new_t
         staged_window[2], staged_window[3] = new_ea, new_eb
-        self._replay_online_ae(window, rand, count0, n, lang_run, init_mode)
+        t_ae0 = time.time()
+        self._replay_online_ae(window, rand, count0, n_eff, lang_run,
+                               init_mode)
+        if _os.environ.get("OLS_CHUNK_TIMING"):
+            print(f"[chunk] ae_replay dt={time.time() - t_ae0:.2f}s",
+                  flush=True)
 
         # Write back window poses/exposures (host copies from the batched
         # transfer above).
@@ -1001,9 +1046,13 @@ class BackEnd:
             return False
         n_slots = self._n_slots(init_mode)
         rand_pool = [i for i in self.viewpoints if i not in set(window)]
+        t_lang0 = time.time()
         if self.lang_train and lang_run:
             for idx in window:
                 self.ensure_lang_features(self.viewpoints[idx])
+        if _os.environ.get("OLS_CHUNK_TIMING"):
+            print(f"[map] ensure_lang={time.time() - t_lang0:.2f}s",
+                  flush=True)
         if self.keyframe_optimizer_state is None or (
             self.keyframe_optimizer_state[2].shape[0] != n_slots
         ):
@@ -1023,16 +1072,22 @@ class BackEnd:
 
         count0 = self.iteration_count
         it_done = 0
+        # ONE live-masked program per (mode, bucket): full chunks run all
+        # iterations live, the final partial chunk masks its tail (dead
+        # scan steps pass the carry through). The old shorter-program
+        # ladder cost a ~30-40 s compile / ~5-10 s relay cache load PER
+        # length PER bucket.
+        n_prog = (
+            FrameStack.INIT_CHUNK_SIZES[0] if init_mode
+            else FrameStack.CHUNK_SIZES[0]
+        )
         while it_done < iters:
-            ladder = (
-                FrameStack.INIT_CHUNK_SIZES if init_mode
-                else FrameStack.CHUNK_SIZES
-            )
-            n = next(s for s in ladder if s <= iters - it_done)
+            n_live = min(n_prog, iters - it_done)
             self._run_chunk(
-                window, staged, rand_pool, n, lang_run, init_mode
+                window, staged, rand_pool, n_prog, lang_run, init_mode,
+                n_live=n_live,
             )
-            it_done += n
+            it_done += n_live
         # Cadence events ran ON DEVICE inside the chunks; report whether any
         # densify iteration fell inside this call (host-deterministic).
         update_every = (

@@ -241,11 +241,21 @@ class SLAM:
             t0 = _tick("data", t0)
 
             if idx == 0:
+                import os as _os
+
+                dbg = _os.environ.get("OLS_CHUNK_TIMING")
                 cam.update_rt(cam.r_gt, cam.t_gt)
                 depthmap = fe.new_keyframe_depth(cam)
+                t_a = time.time()
                 be.add_next_kf(0, cam, depthmap, init=True)
+                t_b = time.time()
                 be.initialize_map(0, cam)
+                t_c = time.time()
                 self._sync_frontend_state()
+                if dbg:
+                    print(f"[init] add_next_kf={t_b - t_a:.2f}s "
+                          f"initialize_map={t_c - t_b:.2f}s "
+                          f"sync={time.time() - t_c:.2f}s", flush=True)
                 _tick("init", t0)
                 cur_window = [0]
                 fe.current_window = cur_window

@@ -272,3 +272,65 @@ def test_chunk_cadence_matches_host_events():
     close((wr, wt, wea, web), (wr_c, wt_c, wea_c, web_c), "window poses",
           5e-3)
     assert not bool(ovf) and not bool(cap_ovf)
+
+
+def test_chunk_live_masking_matches_shorter_program():
+    """A live-masked chunk (n_live < n_iters) must equal the dedicated
+    shorter program bit-for-bit: dead tail steps pass the carry through a
+    lax.cond and contribute zero loss/overflow. This is what lets ONE
+    program per (mode, bucket) serve every chunk length instead of
+    compiling/loading a ladder of shorter programs (backend.map)."""
+    n_win, n_prog, n_live = 2, 6, 4
+    n_slots = n_win + 2
+    (params, opt, aux, settings, proj, win, pose_opt, exp_opt,
+     stack) = _setup(n_win)
+    stack_imgs, stack_deps, stack_langs, stack_lang_on = stack
+    rng = np.random.default_rng(23)
+    rand_rows = jnp.asarray(rng.integers(2, 5, size=(n_prog, 2)), jnp.int32)
+    rand_valid = jnp.ones((n_prog, 2), bool)
+    rand_r = jnp.broadcast_to(jnp.eye(3), (n_prog, 2, 3, 3))
+    rand_t = jnp.asarray(rng.normal(size=(n_prog, 2, 3)) * 0.01, jnp.float32)
+    rand_ea = jnp.zeros((n_prog, 2), jnp.float32)
+    rand_eb = jnp.zeros((n_prog, 2), jnp.float32)
+    lw = jnp.float32(1.0)
+    fixed_lrs = G.LearningRates(*[jnp.float32(1e-3)] * 7)
+    base_key = jax.random.PRNGKey(7)
+    cad = (4, 0, 3, 0.0, 1e-6, 1e6, None, 0.01)
+    z3 = jnp.zeros((n_slots, 3), jnp.float32)
+    zs = jnp.zeros((n_slots,), jnp.float32)
+
+    common = (
+        params, opt, aux, proj,
+        win["r"], win["t"], win["ea"], win["eb"],
+        win["imgs"], win["deps"], win["langs"], win["valid"], win["lang_on"],
+        pose_opt, exp_opt,
+        (z3, z3, zs, zs), (z3, z3, zs, zs), zs,
+        stack_imgs, stack_deps, stack_langs, stack_lang_on,
+    )
+
+    def tail(n):
+        return (
+            rand_rows[:n], rand_valid[:n], rand_r[:n], rand_t[:n],
+            rand_ea[:n], rand_eb[:n],
+            jnp.float32(0.0), fixed_lrs, lw, base_key,
+        )
+
+    fn_short = make_mapping_chunk(settings, n_slots, n_live, False,
+                                  LR_CFG, None, cad)
+    out_s = fn_short(*common, *tail(n_live))
+    fn_mask = make_mapping_chunk(settings, n_slots, n_prog, False,
+                                 LR_CFG, None, cad)
+    out_m = fn_mask(*common, *tail(n_prog), n_live=jnp.int32(n_live))
+
+    # Identical per-iteration programs on the live prefix -> exact match.
+    for i, (a, b) in enumerate(zip(out_s[:9], out_m[:9])):
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            la, lb = jnp.asarray(la), jnp.asarray(lb)
+            assert la.shape == lb.shape, i
+            assert (la == lb).all(), i
+    losses_s, losses_m = out_s[9], out_m[9]
+    assert losses_m.shape == (n_prog,)
+    assert (losses_m[:n_live] == losses_s).all()
+    assert (losses_m[n_live:] == 0.0).all()
+    assert bool(out_m[10]) == bool(out_s[10])
+    assert bool(out_m[11]) == bool(out_s[11])
