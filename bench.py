@@ -6,20 +6,31 @@ CLIP feature maps via SED ConvNeXt-L + HR head on an RTX A4500,
 README.md:29) on our fused JAX pipeline: frame -> normalize -> resize 768²
 -> ConvNeXt-L dense CLIP -> HR refinement -> (192,192,768), plus the
 15-d autoencoder encode. Prints ONE JSON line.
+
+Runs the measurement in a WATCHDOG-SUPERVISED child process: the remote
+compile relay intermittently wedges a client (0% CPU, no output, forever
+— see CLAUDE.md); when the child makes no progress for WATCHDOG_S the
+parent kills it, waits out the tunnel, and retries, so an unattended
+bench invocation still reports a number.
 """
 
 from __future__ import annotations
 
 import json
+import multiprocessing as mp
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_FPS = 40.0  # reference claim on RTX A4500
+WATCHDOG_S = 900.0   # generous: a cold ConvNeXt-L compile through a
+                     # healthy relay is ~1-3 min; a wedged one never ends
+RETRIES = 3
 
 
-def main():
+def _measure(q):
     import jax
 
     # Persistent compile cache: the ConvNeXt-L 768² program is a long
@@ -65,15 +76,48 @@ def main():
     outs = [run(f) for f in frames]
     _ = float(combine(outs))
     dt = (time.time() - t0) / n
-    fps = 1.0 / dt
+    q.put(1.0 / dt)
 
+
+def main():
+    ctx = mp.get_context("spawn")
+    for attempt in range(RETRIES):
+        q = ctx.Queue()
+        child = ctx.Process(target=_measure, args=(q,), daemon=True)
+        child.start()
+        child.join(WATCHDOG_S)
+        if not q.empty():
+            fps = q.get()
+            child.join(5)
+            print(json.dumps({
+                "metric": "lang_feature_map_fps_192x192x768",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }))
+            return 0
+        # Wedged or crashed: kill by PID (never by pattern), let the
+        # tunnel settle, retry.
+        if child.is_alive():
+            child.terminate()
+            child.join(10)
+            if child.is_alive():
+                child.kill()
+                child.join(10)
+        print(f"[bench] attempt {attempt + 1} made no progress in "
+              f"{WATCHDOG_S:.0f}s (relay wedge?) — retrying",
+              file=sys.stderr, flush=True)
+        time.sleep(90.0)
     print(json.dumps({
         "metric": "lang_feature_map_fps_192x192x768",
-        "value": round(fps, 2),
+        "value": 0.0,
         "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": 0.0,
+        "error": "no attempt completed (remote relay unavailable)",
     }))
+    return 1
 
 
 if __name__ == "__main__":
+    os.environ.setdefault("JAX_PLATFORMS", "")  # axon default platform
     sys.exit(main())

@@ -1,1 +1,1 @@
-from .api import RasterSettings, rasterize  # noqa: F401
+from .api import RasterSettings, grow_bucket, rasterize  # noqa: F401

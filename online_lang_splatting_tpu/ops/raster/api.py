@@ -42,6 +42,25 @@ class RasterSettings(NamedTuple):
     max_instances: int | None = None
 
 
+def grow_bucket(current: int, demand: int, margin: float = 1.25) -> int:
+    """Demand-sized instance-bucket growth.
+
+    Every cap-sized cost (pack gather, grad scatter-add, sort, kernel
+    grid) scales with the BUCKET, not the live occupancy, so blind
+    doubling leaves up to ~50% permanently dead rows. Renders report
+    their exact pre-truncation instance demand (`RasterOutput.
+    num_instances`); on overflow, land on demand x margin (the margin
+    absorbs densification growth within the replayed chunk), but never
+    grow by less than 1.5x — each distinct bucket compiles fresh
+    programs through the (slow) remote relay, so the growth count must
+    stay logarithmic while the final bucket stays snug to the scene.
+    Rounded up to the blend kernel's 8-chunk quantum; degenerates to
+    near-doubling when demand is stale or unavailable."""
+    quantum = 8 * C.BLEND_CHUNK
+    target = max(int(demand * margin), (current * 3 + 1) // 2)
+    return -(-target // quantum) * quantum
+
+
 class RasterOutput(NamedTuple):
     color: jax.Array       # (3, H, W)
     language: jax.Array    # (F, H, W)

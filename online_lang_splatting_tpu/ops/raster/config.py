@@ -13,6 +13,10 @@ NUM_COLOR_CHANNELS = 3
 DEFAULT_LANGUAGE_CHANNELS = 15
 DEFAULT_TILE = 16  # TPU-preferred; set 15 to bit-match the reference engine.
 
+# Instances per blend-kernel grid step; instance buckets are quantized to
+# 8 chunks (tiled.CHUNK re-exports this).
+BLEND_CHUNK = 256
+
 # Blend-loop numerics (forward.cu:464-485).
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0

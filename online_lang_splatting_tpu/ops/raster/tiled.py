@@ -54,7 +54,7 @@ from . import config as C
 from .binning import SortedBinning, bin_gaussians_sorted
 from .preprocess import Preprocessed
 
-CHUNK = 256
+CHUNK = C.BLEND_CHUNK
 
 # geom rows: x, y, conic_a, conic_b, conic_c, opacity, valid, (pad)
 GEOM_ROWS = 8

@@ -98,7 +98,8 @@ def sharded_slot_grads(settings, mesh: Mesh, init_mode: bool):
         ),
         out_specs=(
             P(), P(),
-            (P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+            (P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+             P("dp")),
             (P(), P(), P()),
         ),
         check_rep=False,
@@ -142,14 +143,14 @@ def dp_mapping_iteration(settings, mesh: Mesh, n_slots: int, init_mode: bool):
             slot_valid.astype(jnp.float32), lang_weight,
         )
         (params, opt, aux, new_r, new_t, new_ea, new_eb, pose_state,
-         occ_vis, ovf) = apply_mapping_updates(
+         occ_vis, ovf, demand) = apply_mapping_updates(
             params, opt, aux, grads, stats, per_slot,
             slot_r, slot_t, slot_ea, slot_eb,
             pose_m, pose_v, pose_t, pose_opt, exp_opt, lrs,
         )
         return (
             params, opt, aux, new_r, new_t, new_ea, new_eb,
-            pose_state, occ_vis, loss, ovf,
+            pose_state, occ_vis, loss, ovf, demand,
         )
 
     return jax.jit(fn)

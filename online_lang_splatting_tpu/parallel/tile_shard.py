@@ -197,7 +197,7 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
     chip rendering + differentiating its own tile band and pose gradients
     psum over ICI. gt frames enter replicated and are band-sliced on
     device. Returns (view, ea, eb, n_iters, loss, median_depth,
-    visibility, overflow) like tracking_run."""
+    visibility, overflow, demand) like tracking_run."""
     n = mesh.size
     h, w = settings.image_height, settings.image_width
     band_tiles_y, band_h, padded_h = band_layout(h, settings.tile, n)
@@ -227,7 +227,7 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
         )
         loss = (alpha * l1_rgb / denom_rgb
                 + (1 - alpha) * l1_depth / denom_depth)
-        return jax.lax.psum(loss, "dp"), out.overflow
+        return jax.lax.psum(loss, "dp"), (out.overflow, out.num_instances)
 
     def local(inputs, view, proj, gt_image_p, gt_depth_p, grad_mask_p,
               exposure_a, exposure_b, lrs):
@@ -237,8 +237,8 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
         b1, b2, eps = 0.9, 0.999, 1e-8
 
         def body(state):
-            (view, ea, eb, m, v, t, _, loss_prev, ovf) = state
-            (loss, o), grads = jax.value_and_grad(
+            (view, ea, eb, m, v, t, _, loss_prev, ovf, dem) = state
+            (loss, (o, nd)), grads = jax.value_and_grad(
                 lambda rho, theta, ea, eb, view: band_loss(
                     inputs, rho, theta, ea, eb, view, proj,
                     gt_image_p, gt_depth_p, grad_mask_p, k,
@@ -250,6 +250,9 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
             # identical on every chip.
             grads = jax.lax.psum(grads, "dp")
             ovf = ovf | jnp.any(jax.lax.all_gather(o, "dp"))
+            # Peak per-band instance demand (bands bin independently, each
+            # against the full bucket) — drives demand-sized growth.
+            dem = jnp.maximum(dem, jnp.max(jax.lax.all_gather(nd, "dp")))
             t = t + 1
             new_m, new_v, steps = [], [], []
             for g, mi, vi, lr in zip(grads, m, v, lr_list):
@@ -266,7 +269,7 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
             view = lie.se3_exp(tau) @ view
             converged = jnp.linalg.norm(tau) < 1e-4
             return (view, ea + d_ea, eb + d_eb, tuple(new_m), tuple(new_v),
-                    t, converged, loss, ovf)
+                    t, converged, loss, ovf, dem)
 
         def cond(state):
             t, converged = state[5], state[6]
@@ -278,17 +281,20 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
             view, exposure_a, exposure_b,
             (z3, z3, zs, zs), (z3, z3, zs, zs),
             jnp.zeros((), jnp.float32), jnp.array(False), jnp.zeros(()),
-            jnp.array(False),
+            jnp.array(False), jnp.zeros((), jnp.int32),
         )
-        (view, ea, eb, _, _, n_iters, _, loss, ovf) = jax.lax.while_loop(
-            cond, body, init
-        )
+        (view, ea, eb, _, _, n_iters, _, loss, ovf,
+         dem) = jax.lax.while_loop(cond, body, init)
         # Final render at the converged pose (band), assembled outside.
         out, _ = _band_blend(inputs, view, proj, settings, k, band_h=band_h)
         n_touched = jax.lax.psum(out.n_touched, "dp")
         ovf = ovf | jnp.any(jax.lax.all_gather(out.overflow, "dp"))
+        dem = jnp.maximum(
+            dem, jnp.max(jax.lax.all_gather(out.num_instances, "dp"))
+        )
         return (view[None], ea[None], eb[None], n_iters[None], loss[None],
-                out.depth, out.opacity, n_touched[None], ovf[None])
+                out.depth, out.opacity, n_touched[None], ovf[None],
+                dem[None])
 
     sharded = shard_map(
         local, mesh=mesh,
@@ -296,6 +302,7 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
         out_specs=(
             P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
             P(None, "dp", None), P(None, "dp", None), P("dp"), P("dp"),
+            P("dp"),
         ),
         check_rep=False,
     )
@@ -313,7 +320,8 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
         def padh(x):
             return jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
 
-        (view, ea, eb, n_iters, loss, depth, opac, n_touched, ovf) = sharded(
+        (view, ea, eb, n_iters, loss, depth, opac, n_touched, ovf,
+         dem) = sharded(
             track_inputs, view, proj, padh(gt_image),
             padh(gt_depth), padh(grad_mask),
             exposure_a, exposure_b, jnp.asarray(lrs, jnp.float32),
@@ -322,6 +330,6 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
 
         med = L.median_depth(depth[:, :h, :], opac[:, :h, :])
         return (view[0], ea[0], eb[0], n_iters[0], loss[0], med,
-                n_touched[0] > 0, ovf.any())
+                n_touched[0] > 0, ovf.any(), jnp.max(dem))
 
     return jax.jit(fn)

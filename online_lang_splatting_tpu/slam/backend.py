@@ -36,7 +36,7 @@ import numpy as np
 from ..models import gaussians as G
 from ..models.convnext_clip import resize_bilinear
 from ..ops import lie
-from ..ops.raster import RasterSettings
+from ..ops.raster import RasterSettings, grow_bucket
 from . import losses as L
 from .camera import Camera
 from .renderer import activate, render
@@ -91,7 +91,9 @@ def scan_slot_grads(
                 out.language - jnp.transpose(lang_hw, (2, 0, 1))
             ).mean()
             loss = loss + lang_weight * jnp.where(l_on, l_lang, 0.0)
-            return loss * valid, (out.radii, out.n_touched, out.overflow)
+            return loss * valid, (
+                out.radii, out.n_touched, out.overflow, out.num_instances,
+            )
 
         def dead(args):
             # Invalid/padding slot: skip the whole render (during map init
@@ -100,7 +102,7 @@ def scan_slot_grads(
             # differentiates to zero grads for this branch).
             return jnp.float32(0.0), (
                 jnp.zeros((cap,), jnp.int32), jnp.zeros((cap,), jnp.int32),
-                jnp.zeros((), bool),
+                jnp.zeros((), bool), jnp.zeros((), jnp.int32),
             )
 
         return jax.lax.cond(
@@ -113,7 +115,7 @@ def scan_slot_grads(
     def step(carry, slot):
         grad_acc, max_radii, grad_accum, denom, loss_acc = carry
         (r, t, ea, eb, image, depth, lang, l_on, valid) = slot
-        (loss, (radii, n_touched, ovf)), grads = jax.value_and_grad(
+        (loss, (radii, n_touched, ovf, n_inst)), grads = jax.value_and_grad(
             kf_loss, argnums=(0, 1, 2, 3, 4, 5), has_aux=True
         )(params, zeros3, zeros3, ea, eb, zero_m2d, r, t, image, depth, lang,
           l_on, valid)
@@ -128,7 +130,7 @@ def scan_slot_grads(
         )
         denom = denom + visible.astype(jnp.float32)
         return (grad_acc, max_radii, grad_accum, denom, loss_acc + loss), (
-            g_rho, g_theta, g_ea, g_eb, n_touched > 0, ovf,
+            g_rho, g_theta, g_ea, g_eb, n_touched > 0, ovf, n_inst,
         )
 
     grad0 = jax.tree.map(jnp.zeros_like, params)
@@ -156,7 +158,7 @@ def apply_mapping_updates(
     """Replicated tail of one mapping iteration: fold slot stats into aux,
     add the isotropic regularizer, step the Gaussian Adam, and step the
     per-keyframe pose/exposure Adam with SE(3) retraction."""
-    g_rho, g_theta, g_ea, g_eb, occ_vis, slot_ovf = per_slot
+    g_rho, g_theta, g_ea, g_eb, occ_vis, slot_ovf, slot_demand = per_slot
     max_radii, grad_accum, denom = stats
     aux = aux._replace(
         max_radii2d=jnp.maximum(aux.max_radii2d, max_radii),
@@ -208,7 +210,7 @@ def apply_mapping_updates(
     return (
         params, opt, aux, new_r, new_t, new_ea, new_eb,
         ((m0, m1, m2, m3), (v0, v1, v2, v3), t_new),
-        occ_vis, jnp.any(slot_ovf),
+        occ_vis, jnp.any(slot_ovf), jnp.max(slot_demand),
     )
 
 
@@ -245,14 +247,14 @@ def mapping_iteration(
         lang_weight, settings=settings, init_mode=init_mode,
     )
     (params, opt, aux, new_r, new_t, new_ea, new_eb, pose_state, occ_vis,
-     ovf) = apply_mapping_updates(
+     ovf, demand) = apply_mapping_updates(
         params, opt, aux, grads, stats, per_slot,
         slot_r, slot_t, slot_ea, slot_eb,
         pose_m, pose_v, pose_t, pose_opt, exp_opt, lrs,
     )
     return (
         params, opt, aux, new_r, new_t, new_ea, new_eb,
-        pose_state, occ_vis, loss, ovf,
+        pose_state, occ_vis, loss, ovf, demand,
     )
 
 
@@ -362,7 +364,7 @@ def make_mapping_chunk(
                 imgs, deps, lngs, lang_on, valid_f, lang_weight,
             )
             (params, opt, aux, new_r, new_t, new_ea, new_eb,
-             (pm, pv, pt), occ_vis, ovf) = apply_mapping_updates(
+             (pm, pv, pt), occ_vis, ovf, demand) = apply_mapping_updates(
                 params, opt, aux, grads, stats, per_slot,
                 slot_r, slot_t, slot_ea, slot_eb,
                 pm, pv, pt, pose_opt, exp_opt, lrs,
@@ -413,7 +415,7 @@ def make_mapping_chunk(
                 new_r[:n_win], new_t[:n_win], new_ea[:n_win], new_eb[:n_win],
                 pm, pv, pt, occ_vis,
             )
-            return carry, (loss, ovf, cap_ovf)
+            return carry, (loss, ovf, cap_ovf, demand)
 
         if n_live is None:
             body = real_body
@@ -432,6 +434,7 @@ def make_mapping_chunk(
                         jnp.float32(0.0),
                         jnp.zeros((), bool),
                         jnp.zeros((), bool),
+                        jnp.zeros((), jnp.int32),
                     )
 
                 return jax.lax.cond(
@@ -447,11 +450,12 @@ def make_mapping_chunk(
         if n_live is not None:
             xs = xs + (jnp.arange(n_iters, dtype=jnp.int32) < n_live,)
         (params, opt, aux, wr, wt, wea, web, pm, pv, pt, occ_vis), (
-            losses, ovfs, cap_ovfs
+            losses, ovfs, cap_ovfs, demands
         ) = jax.lax.scan(body, carry0, xs)
         return (
             params, opt, aux, wr, wt, wea, web, (pm, pv, pt),
             occ_vis, losses, jnp.any(ovfs), jnp.any(cap_ovfs),
+            jnp.max(demands),
         )
 
     return jax.jit(chunk)
@@ -937,14 +941,23 @@ class BackEnd:
             # the chunk (overflow flags, window poses/exposures, occ
             # visibility): each separate fetch pays a full tunnel round
             # trip (~30-300 ms), and chunks used to make six of them.
-            (ovf_h, cap_ovf_h, new_r_h, new_t_h, new_ea_h, new_eb_h,
-             occ_h) = jax.device_get(
-                (out[10], out[11], out[3], out[4], out[5], out[6], out[8])
+            (ovf_h, cap_ovf_h, demand_h, new_r_h, new_t_h, new_ea_h,
+             new_eb_h, occ_h) = jax.device_get(
+                (out[10], out[11], out[12], out[3], out[4], out[5],
+                 out[6], out[8])
             )
             grew = False
             if bool(ovf_h):
+                # Demand-sized growth: the chunk reports its exact peak
+                # pre-truncation instance demand, so the replay lands on
+                # demand x 1.25 directly instead of doubling through
+                # intermediate buckets (each bucket compiles fresh chunk
+                # programs through the remote relay, and every cap-sized
+                # op pays for dead rows forever after).
                 self.settings = self.settings._replace(
-                    max_instances=self.settings.max_instances * 2
+                    max_instances=grow_bucket(
+                        self.settings.max_instances, int(demand_h)
+                    )
                 )
                 grew = True
                 print(f"[backend] raster instance pool grown to "
@@ -979,7 +992,7 @@ class BackEnd:
             )
         (self.params, self.opt, self.aux, new_r, new_t, new_ea, new_eb,
          self.keyframe_optimizer_state, occ_vis, losses, _ovf,
-         _cap_ovf) = out
+         _cap_ovf, _demand) = out
         count0 = self.iteration_count
         self.iteration_count += n_eff
         staged_window[0], staged_window[1] = new_r, new_t

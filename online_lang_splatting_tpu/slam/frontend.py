@@ -66,7 +66,7 @@ def tracking_run(
     b1, b2, eps = 0.9, 0.999, 1e-8
 
     def body(state):
-        (view, ea, eb, m, v, t, _, loss_prev, ovf) = state
+        (view, ea, eb, m, v, t, _, loss_prev, ovf, dem) = state
         (loss, out), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2, 3), has_aux=True
         )(zeros3, zeros3, ea, eb, view)
@@ -75,6 +75,7 @@ def tracking_run(
         # even when the final render fits the pool (overflow-replay
         # invariant; mirrors the mapping chunks' per-iteration OR).
         ovf = ovf | out.overflow
+        dem = jnp.maximum(dem, out.num_instances)
         t = t + 1
         new_m, new_v, steps = [], [], []
         for g, mi, vi, lr in zip(grads, m, v, lr_list):
@@ -90,7 +91,7 @@ def tracking_run(
         view = lie.se3_exp(tau) @ view
         converged = jnp.linalg.norm(tau) < 1e-4
         return (view, ea + d_ea, eb + d_eb, tuple(new_m), tuple(new_v), t,
-                converged, loss, ovf)
+                converged, loss, ovf, dem)
 
     def cond(state):
         t, converged = state[5], state[6]
@@ -102,16 +103,16 @@ def tracking_run(
         view, exposure_a, exposure_b,
         (z3, z3, zs, zs), (z3, z3, zs, zs),
         jnp.zeros((), jnp.float32), jnp.array(False), jnp.zeros(()),
-        jnp.array(False),
+        jnp.array(False), jnp.zeros((), jnp.int32),
     )
-    (view, ea, eb, _, _, n_iters, _, loss, ovf) = jax.lax.while_loop(
+    (view, ea, eb, _, _, n_iters, _, loss, ovf, dem) = jax.lax.while_loop(
         cond, body, init
     )
     # Final render at the converged pose: median depth + visibility.
     out = render(track_inputs, view, proj, settings)
     med = L.median_depth(out.depth, out.opacity)
     return (view, ea, eb, n_iters, loss, med, out.n_touched > 0,
-            ovf | out.overflow)
+            ovf | out.overflow, jnp.maximum(dem, out.num_instances))
 
 
 class FrontEnd:
@@ -172,14 +173,14 @@ class FrontEnd:
                     rgb_threshold=self.rgb_boundary_threshold,
                 )
                 (view, ea, eb, n_iters, loss, med, visibility,
-                 overflow) = run(
+                 overflow, demand) = run(
                     self.render_inputs, view0, proj, cam.image, gt_depth,
                     cam.grad_mask, jnp.asarray(cam.exposure_a, jnp.float32),
                     jnp.asarray(cam.exposure_b, jnp.float32), lrs,
                 )
             else:
                 (view, ea, eb, n_iters, loss, med, visibility,
-                 overflow) = tracking_run(
+                 overflow, demand) = tracking_run(
                     self.render_inputs, view0, proj, cam.image, gt_depth,
                     cam.grad_mask, jnp.asarray(cam.exposure_a, jnp.float32),
                     jnp.asarray(cam.exposure_b, jnp.float32), lrs,
@@ -188,8 +189,12 @@ class FrontEnd:
                 )
             if not bool(overflow):
                 break
+            # Demand-sized growth (grow_bucket docstring): land on the
+            # observed peak instance demand x margin, not a blind double.
             self.settings = self.settings._replace(
-                max_instances=self.settings.max_instances * 2
+                max_instances=grow_bucket(
+                    self.settings.max_instances, int(demand)
+                )
             )
             print(f"[frontend] raster instance pool grown to "
                   f"{self.settings.max_instances}; redoing frame")

@@ -77,8 +77,9 @@ class SLAM:
         avg_dup = config.get("max_instance_factor", 8)
         # Start with a SNUG instance bucket: binning + kernel-grid cost
         # scales with the bucket, and both tracking and mapping grow it
-        # (x2 + replay) on overflow, so early-run frames with few
-        # instances don't pay worst-case capacity.
+        # on overflow (demand-sized, ops.raster.grow_bucket + replay), so
+        # early-run frames with few instances don't pay worst-case
+        # capacity and the steady-state bucket stays snug to the scene.
         max_inst = config.get(
             "max_instances_init", min(avg_dup * cap0, 1 << 18)
         )

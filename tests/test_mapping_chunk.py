@@ -105,7 +105,7 @@ def test_chunk_matches_per_iteration():
             )
         )
         (p_ref, o_ref, a_ref, new_r, new_t, new_ea, new_eb,
-         (pm, pv, pt), occ_ref, _loss, _ovf) = mapping_iteration(
+         (pm, pv, pt), occ_ref, _loss, _ovf, _dem) = mapping_iteration(
             p_ref, o_ref, a_ref, proj,
             slot_r, slot_t, slot_ea, slot_eb, pm, pv, pt,
             imgs, deps, lngs, valid, lang_on, pose_opt, exp_opt,
@@ -117,7 +117,7 @@ def test_chunk_matches_per_iteration():
     pm0, pv0 = (z3, z3, zs, zs), (z3, z3, zs, zs)
     fn = make_mapping_chunk(settings, n_slots, n_iters, False, LR_CFG)
     (p_c, o_c, a_c, wr_c, wt_c, wea_c, web_c, (pm_c, pv_c, pt_c),
-     occ_c, losses, ovf, cap_ovf) = fn(
+     occ_c, losses, ovf, cap_ovf, _dem) = fn(
         params, opt, aux, proj,
         win["r"], win["t"], win["ea"], win["eb"],
         win["imgs"], win["deps"], win["langs"], win["valid"], win["lang_on"],
@@ -210,7 +210,7 @@ def test_chunk_cadence_matches_host_events():
             )
         )
         (p_ref, o_ref, a_ref, new_r, new_t, new_ea, new_eb,
-         (pm, pv, pt), occ_ref, _loss, _ovf) = mapping_iteration(
+         (pm, pv, pt), occ_ref, _loss, _ovf, _dem) = mapping_iteration(
             p_ref, o_ref, a_ref, proj,
             slot_r, slot_t, slot_ea, slot_eb, pm, pv, pt,
             imgs, deps, lngs, valid, lang_on, pose_opt, exp_opt,
@@ -238,7 +238,7 @@ def test_chunk_cadence_matches_host_events():
         settings, n_slots, n_iters, False, LR_CFG, None, cad
     )
     (p_c, o_c, a_c, wr_c, wt_c, wea_c, web_c, _pstate,
-     occ_c, losses, ovf, cap_ovf) = fn(
+     occ_c, losses, ovf, cap_ovf, _dem) = fn(
         params, opt, aux, proj,
         win["r"], win["t"], win["ea"], win["eb"],
         win["imgs"], win["deps"], win["langs"], win["valid"], win["lang_on"],
@@ -334,3 +334,4 @@ def test_chunk_live_masking_matches_shorter_program():
     assert (losses_m[n_live:] == 0.0).all()
     assert bool(out_m[10]) == bool(out_s[10])
     assert bool(out_m[11]) == bool(out_s[11])
+    assert int(out_m[12]) == int(out_s[12])  # peak instance demand

@@ -77,7 +77,7 @@ def test_dp_mapping_iteration_matches_single_device():
     dp = dp_mapping_iteration(settings, mesh, s, False)(*args)
 
     names = ["params", "opt", "aux", "r", "t", "ea", "eb", "pose_state",
-             "occ_vis", "loss", "ovf"]
+             "occ_vis", "loss", "ovf", "demand"]
     for name, a, b in zip(names, ref, dp):
         for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
             la, lb = jnp.asarray(la), jnp.asarray(lb)

@@ -171,6 +171,78 @@ def main():
                jnp.asarray(np.random.default_rng(4).integers(
                    -1, 100, cap), jnp.int32))
 
+    if "scatter" in variants:
+        # Alternatives to the backward's per-Gaussian grad reduction
+        # (tiled.py:_blend_bwd tail): 1M instance rows, D=25 columns,
+        # ~200k distinct Gaussians. Baseline is the wide-row scatter-add.
+        p = n
+        cap = max_instances
+        rng2 = np.random.default_rng(7)
+        ids = jnp.asarray(rng2.integers(0, p, cap), jnp.int32)
+        rows = jnp.asarray(rng2.normal(size=(cap, 25)), jnp.float32)
+
+        timeit("scatter-add (1M,25) random ids", jax.jit(
+            lambda i, r: jnp.zeros((p, 25), jnp.float32).at[i].add(
+                r, mode="drop")), ids, rows)
+
+        # Occupancy sensitivity: does a dropped (out-of-range) tail cost?
+        ids_65 = jnp.where(jnp.arange(cap) < int(0.65 * cap), ids, p)
+        timeit("scatter-add (1M,25) 35% dropped tail", jax.jit(
+            lambda i, r: jnp.zeros((p, 25), jnp.float32).at[i].add(
+                r, mode="drop")), ids_65, rows)
+
+        # Sorted ids: is XLA's scatter sensitive to monotonic indices?
+        ids_sorted = jnp.sort(ids)
+        timeit("scatter-add (1M,25) sorted ids", jax.jit(
+            lambda i, r: jnp.zeros((p, 25), jnp.float32).at[i].add(
+                r, mode="drop")), ids_sorted, rows)
+
+        # Permutation scatter (unique): the emission-reorder path's core.
+        perm = jnp.asarray(rng2.permutation(cap), jnp.int32)
+        timeit("scatter-set (1M,25) unique perm", jax.jit(
+            lambda i, r: jnp.zeros((cap, 25), jnp.float32).at[i].set(
+                r, unique_indices=True)), perm, rows)
+
+        # Wide-row gather: the inverse-permutation move.
+        timeit("gather (1M,25) perm", jax.jit(
+            lambda i, r: r[i]), perm, rows)
+
+        # Segment-reduce in emission order: cumsum(1M,25) + 2x 200k
+        # boundary gathers (run starts/ends from binning offsets).
+        bounds = jnp.asarray(
+            np.sort(rng2.integers(0, cap, p)), jnp.int32)
+        def seg_reduce(r, b):
+            c = jnp.cumsum(r, axis=0)
+            c = jnp.concatenate([jnp.zeros((1, 25), r.dtype), c], 0)
+            return c[jnp.minimum(b + 1, cap)] - c[b]
+        timeit("cumsum+boundary-gather (1M,25)->(200k,25)",
+               jax.jit(seg_reduce), rows, bounds)
+
+        # Full emission chain: gather(inv perm) + cumsum-diff.
+        def emission_chain(invp, r, b):
+            re = r[invp]
+            return seg_reduce(re, b)
+        timeit("emission chain: perm-gather + segreduce",
+               jax.jit(emission_chain), perm, rows, bounds)
+
+        # Split-scatter: two half-size scatter-adds + one add — does XLA
+        # pipeline independent scatters at all?
+        def split_scatter(i, r):
+            h_ = cap // 2
+            a = jnp.zeros((p, 25), jnp.float32).at[i[:h_]].add(
+                r[:h_], mode="drop")
+            b = jnp.zeros((p, 25), jnp.float32).at[i[h_:]].add(
+                r[h_:], mode="drop")
+            return a + b
+        timeit("2x half scatter-add + add", jax.jit(split_scatter),
+               ids, rows)
+
+        # Width sensitivity: D=8 vs D=25 (is cost per-row or per-byte?)
+        rows8 = rows[:, :8]
+        timeit("scatter-add (1M,8) random ids", jax.jit(
+            lambda i, r: jnp.zeros((p, 8), jnp.float32).at[i].add(
+                r, mode="drop")), ids, rows8)
+
 
 if __name__ == "__main__":
     main()
