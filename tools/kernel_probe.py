@@ -28,9 +28,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=200_000)
     ap.add_argument("--variants", type=str, default="pieces")
+    ap.add_argument("--cap", type=int, default=1 << 20)
+    ap.add_argument("--platform", type=str, default=None,
+                    help="e.g. cpu — smoke-test probe code off-TPU")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -49,7 +55,7 @@ def main():
     rng = np.random.default_rng(0)
     n = args.n
     tile = C.DEFAULT_TILE
-    max_instances = 1 << 20
+    max_instances = args.cap
     tan_fovx, tan_fovy = w / (2 * fx), h / (2 * fy)
     proj = graphics.projection_matrix(0.01, 100.0, w / 2, h / 2, fx, fy, w, h)
     view = jnp.eye(4)
