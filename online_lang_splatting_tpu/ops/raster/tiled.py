@@ -101,6 +101,19 @@ def _prefix_sum_incl(x: jax.Array) -> jax.Array:
     return _prefix_scan(x, jnp.add, 0.0)
 
 
+def _prod_rows(x: jax.Array) -> jax.Array:
+    """Product over axis 0 -> (1, cols) via a halving tree: ~2 full-size
+    passes of VPU work where a Hillis-Steele scan (whose last row is the
+    same reduction) costs log2(n) full-size passes. reduce_prod itself is
+    unimplemented in Mosaic; sublane slicing is cheap."""
+    n = x.shape[0]
+    while n > 1:
+        h = n // 2
+        x = x[:h] * x[h:n]
+        n = h
+    return x
+
+
 def _prefix_max_incl(x: jax.Array) -> jax.Array:
     return _prefix_scan(x, jnp.maximum, 0.0)
 
@@ -161,12 +174,7 @@ def _composite(alpha, skip, t_prev, done_prev):
     live = done_prev < 0.5  # (1, pix)
     contrib = (~skip) & (~stopped_incl) & live
     w = jnp.where(contrib, alpha * cum_t, 0.0)
-    # reduce_prod is unimplemented in Mosaic; take the last row of an
-    # inclusive prefix product instead.
-    contrib_prod = _prefix_scan(
-        jnp.where(contrib, one_minus, 1.0), jnp.multiply, 1.0
-    )
-    t_new = t_prev * contrib_prod[-1:, :]
+    t_new = t_prev * _prod_rows(jnp.where(contrib, one_minus, 1.0))
     done_new = jnp.maximum(done_prev, jnp.max(stop, axis=0, keepdims=True))
     return cum_t, test_t, contrib, w, t_new, done_new
 
