@@ -398,11 +398,19 @@ def _bwd_kernel(
                     dx, dy = a["dx"], a["dy"]
                     gt = geom_ref[...].T
                     ca, cb, cc = gt[:, 2:3], gt[:, 3:4], gt[:, 4:5]
-                    dca = jnp.sum(dpower * (-0.5) * dx * dx, axis=1)
-                    dcb = jnp.sum(dpower * (-dx * dy), axis=1)
-                    dcc = jnp.sum(dpower * (-0.5) * dy * dy, axis=1)
-                    dxg = jnp.sum(dpower * (-(ca * dx + cb * dy)), axis=1)
-                    dyg = jnp.sum(dpower * (-(cc * dy + cb * dx)), axis=1)
+                    # Conic entries are per-instance constants, so the
+                    # position grads factor through two reduced sums —
+                    # 2 products + 5 reductions instead of 5x (product
+                    # chain + reduction) over the (CHUNK, pix) block.
+                    ddx = dpower * dx
+                    ddy = dpower * dy
+                    sx = jnp.sum(ddx, axis=1)
+                    sy = jnp.sum(ddy, axis=1)
+                    dca = -0.5 * jnp.sum(ddx * dx, axis=1)
+                    dcb = -jnp.sum(ddx * dy, axis=1)
+                    dcc = -0.5 * jnp.sum(ddy * dy, axis=1)
+                    dxg = -(ca[:, 0] * sx + cb[:, 0] * sy)
+                    dyg = -(cc[:, 0] * sy + cb[:, 0] * sx)
                     zeros = jnp.zeros_like(dop)
                     dg_s[...] += jnp.stack(
                         [dxg, dyg, dca, dcb, dcc, dop, zeros, zeros], axis=0
