@@ -114,10 +114,6 @@ def _prod_rows(x: jax.Array) -> jax.Array:
     return x
 
 
-def _prefix_max_incl(x: jax.Array) -> jax.Array:
-    return _prefix_scan(x, jnp.maximum, 0.0)
-
-
 def _pixel_coords(tile_id, tiles_x: int, tile: int, pix: int):
     """Per-lane pixel coordinates of this tile; (1, pix) float32."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
@@ -169,8 +165,11 @@ def _composite(alpha, skip, t_prev, done_prev):
     one_minus = 1.0 - alpha  # >= 0.01 (alpha clamped at 0.99)
     cum_t = t_prev * _prefix_prod_excl(one_minus)
     test_t = cum_t * one_minus
-    stop = jnp.where(~skip & (test_t < C.T_EPS), 1.0, 0.0)
-    stopped_incl = _prefix_max_incl(stop) > 0.5
+    # test_t is the post-row transmittance, monotone non-increasing along
+    # the chunk (skip rows multiply by exactly 1.0), so "some stop fired
+    # at or before row i" is simply test_t_i < eps — no prefix-max scan.
+    stopped_incl = test_t < C.T_EPS
+    stop = jnp.where(~skip & stopped_incl, 1.0, 0.0)
     live = done_prev < 0.5  # (1, pix)
     contrib = (~skip) & (~stopped_incl) & live
     w = jnp.where(contrib, alpha * cum_t, 0.0)
@@ -390,13 +389,15 @@ def _bwd_kernel(
                         contrib, cum_t * gdot - suffix / (1.0 - alpha), 0.0
                     )
                     not_clamped = a["alpha_raw"] < C.ALPHA_MAX
-                    dpower = jnp.where(not_clamped, dalpha * alpha, 0.0)
-                    expp = jnp.exp(a["power"])
-                    dop = jnp.sum(
-                        jnp.where(not_clamped, dalpha * expp, 0.0), axis=1
-                    )
-                    dx, dy = a["dx"], a["dy"]
+                    # In the unclamped region alpha == op*exp(power), so
+                    # dpower = (dalpha*expp)*op shares one product with dop.
                     gt = geom_ref[...].T
+                    de = jnp.where(
+                        not_clamped, dalpha * jnp.exp(a["power"]), 0.0
+                    )
+                    dop = jnp.sum(de, axis=1)
+                    dpower = de * gt[:, 5:6]
+                    dx, dy = a["dx"], a["dy"]
                     ca, cb, cc = gt[:, 2:3], gt[:, 3:4], gt[:, 4:5]
                     # Conic entries are per-instance constants, so the
                     # position grads factor through two reduced sums —
