@@ -54,11 +54,22 @@ def grow_bucket(current: int, demand: int, margin: float = 1.25) -> int:
     grow by less than 1.5x — each distinct bucket compiles fresh
     programs through the (slow) remote relay, so the growth count must
     stay logarithmic while the final bucket stays snug to the scene.
-    Rounded up to the blend kernel's 8-chunk quantum; degenerates to
-    near-doubling when demand is stale or unavailable."""
-    quantum = 8 * C.BLEND_CHUNK
-    target = max(int(demand * margin), (current * 3 + 1) // 2)
-    return -(-target // quantum) * quantum
+    Snapped UP to a quarter-power-of-two grid (2^k x {1, 1.25, 1.5,
+    1.75}): tracking and mapping grow independently from *different*
+    observed demands, and _sync_frontend_state max-merges their buckets —
+    a shared coarse grid makes nearby demands land on the SAME rung, so
+    the merge rarely mints a third size (every distinct size compiles
+    fresh programs through the relay). Grid values >= 2^13 are multiples
+    of the blend kernel's 8-chunk quantum. Degenerates to near-doubling
+    when demand is stale or unavailable."""
+    target = max(int(demand * margin), (current * 3 + 1) // 2,
+                 8 * C.BLEND_CHUNK)
+    k = max((target - 1).bit_length() - 1, 13)  # 2^k < target <= 2^(k+1)
+    for num in (5, 6, 7, 8):
+        snapped = (1 << k) * num // 4
+        if snapped >= target:
+            return snapped
+    return 1 << (k + 1)
 
 
 class RasterOutput(NamedTuple):

@@ -468,16 +468,17 @@ class FrameStack:
     through the host link after insertion (the reference keeps all
     viewpoints on-GPU the same way, slam_backend.py:187)."""
 
-    # Pow-4 ladder bounds recompiles to 3-4/mode. Mapping caps at 16: a
-    # single dispatch of 16 full-scale 12-slot iterations runs ~20-27 s on
+    # ONE live-masked program length per mode (partial chunks mask their
+    # tail iterations — backend.map). Mapping caps at 16: a single
+    # dispatch of 16 full-scale 12-slot iterations runs ~20-27 s on
     # hardware and the TPU worker kills dispatches in the minute range
     # (chunk-64 at 12 live slots ~ 109 s reproducibly crashed it). INIT
     # chunks go to 64: init has ONE live keyframe slot (~0.1 s/iteration,
     # 64 iters ~ 7 s), and each dispatch through the remote relay costs
     # ~1-2 s of submission overhead — quartering the dispatch count cuts
     # the init phase materially.
-    CHUNK_SIZES = (16, 4, 1)
-    INIT_CHUNK_SIZES = (64, 16, 4, 1)
+    MAP_CHUNK = 16
+    INIT_CHUNK = 64
 
     def __init__(self, h: int, w: int, lang_dim: int, cap: int = 16,
                  lang_hw=(192, 192)):
@@ -1091,8 +1092,7 @@ class BackEnd:
         # ladder cost a ~30-40 s compile / ~5-10 s relay cache load PER
         # length PER bucket.
         n_prog = (
-            FrameStack.INIT_CHUNK_SIZES[0] if init_mode
-            else FrameStack.CHUNK_SIZES[0]
+            FrameStack.INIT_CHUNK if init_mode else FrameStack.MAP_CHUNK
         )
         while it_done < iters:
             n_live = min(n_prog, iters - it_done)

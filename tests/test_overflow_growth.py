@@ -10,19 +10,23 @@ from online_lang_splatting_tpu.slam.system import SLAM
 
 def test_grow_bucket_demand_sized():
     q = 8 * 256
-    # Demand-sized: lands on demand*1.25 rounded to the bucket quantum,
-    # skipping intermediate doublings (650k demand from a 262k bucket
-    # lands at ~813k, not the doubling ladder's 1M).
-    assert grow_bucket(262144, 650_000) == -(-int(650_000 * 1.25) // q) * q
+    # Demand-sized: 650k demand from a 262k bucket lands on the 917504
+    # grid rung (demand x 1.25 snapped to quarter-pow2), not the doubling
+    # ladder's 1048576.
+    assert grow_bucket(262144, 650_000) == 917504
     assert grow_bucket(262144, 650_000) < 1048576
     # Growth-count bound: never less than 1.5x even for tiny demand
     # (each distinct bucket compiles fresh programs through the relay).
     assert grow_bucket(262144, 0) >= 262144 * 3 // 2
     assert grow_bucket(262144, 265000) >= 262144 * 3 // 2
+    # Grid convergence: nearby demands from different observers (tracking
+    # whole-frame vs mapping slots) land on the SAME rung, so the
+    # frontend/backend bucket merge doesn't mint a third program size.
+    assert grow_bucket(262144, 600_000) == grow_bucket(262144, 620_000)
     # Quantum-aligned and strictly growing.
-    assert grow_bucket(2048, 2000) % q == 0
-    for cur, dem in [(2048, 0), (2048, 5000), (262144, 300000),
-                     (1 << 20, 3 << 20)]:
+    for cur, dem in [(2048, 0), (2048, 2000), (2048, 5000),
+                     (262144, 300000), (1 << 20, 3 << 20)]:
+        assert grow_bucket(cur, dem) % q == 0
         assert grow_bucket(cur, dem) > cur
         assert grow_bucket(cur, dem) >= dem
 
