@@ -323,6 +323,11 @@ def make_mapping_chunk(
         lang_weight,
         base_key=None,                         # cadence mode only
         n_live=None,                           # dynamic live-iteration count
+        events_on=None,                        # cadence mode: traced bool —
+                                               # False suppresses densify/
+                                               # reset events (the prune
+                                               # iteration) without a
+                                               # separate no-cadence program
     ):
         win_valid_f = win_valid.astype(jnp.float32)
         counts = iter0 + 1.0 + jnp.arange(n_iters, dtype=jnp.float32)
@@ -375,6 +380,9 @@ def make_mapping_chunk(
                  extent, size_th, pct) = cadence
                 do_update = (count_i % upd_every) == upd_off
                 do_reset = ((count_i % rst_every) == 0) & ~do_update
+                if events_on is not None:
+                    do_update = do_update & events_on
+                    do_reset = do_reset & events_on
                 key = jax.random.fold_in(base_key, count_i)
 
                 def densify(operand):
@@ -912,7 +920,12 @@ class BackEnd:
             stack.lang_on if (lang_run and self.lang_train)
             else np.zeros_like(stack.lang_on)
         )
-        cad = self._cadence_cfg(init_mode) if cadence else None
+        # Always build the cadence program; `cadence=False` (the prune
+        # iteration, slam_backend.py:683-717 — the reference never fires
+        # events from it) suppresses events with the traced `events_on`
+        # flag instead of compiling a separate no-cadence program per
+        # bucket through the relay.
+        cad = self._cadence_cfg(init_mode)
         # One key per chunk; per-event keys derive via fold_in(iteration),
         # so an overflow REPLAY reruns the identical key schedule.
         self.rng, base_key = jax.random.split(self.rng)
@@ -928,16 +941,14 @@ class BackEnd:
                 *rand,
                 jnp.float32(self.iteration_count),
                 fixed, jnp.float32(self.lamda_lang),
+                base_key,
             )
-            if cad is not None:
-                args = args + (base_key,)
             fn = make_mapping_chunk(
                 self.settings, n_slots, n, init_mode, lr_cfg, self.mesh, cad
             )
-            if n_live is not None:
-                out = fn(*args, n_live=jnp.int32(n_live))
-            else:
-                out = fn(*args)
+            out = fn(*args, n_live=jnp.int32(n_live if n_live is not None
+                                             else n),
+                     events_on=jnp.bool_(cadence))
             # ONE batched host transfer for everything the host needs from
             # the chunk (overflow flags, window poses/exposures, occ
             # visibility): each separate fetch pays a full tunnel round
@@ -1075,11 +1086,15 @@ class BackEnd:
 
         if prune:
             # One iteration + occ-visibility prune (slam_backend.py:683-717).
-            # No cadence: the host path never fired events from this extra
-            # iteration either.
+            # events_on=False: the host path never fired events from this
+            # extra iteration either. Reuses the bucket's main masked
+            # program (n_live=1) — no dedicated 1-iteration program.
+            n_prog = (
+                FrameStack.INIT_CHUNK if init_mode else FrameStack.MAP_CHUNK
+            )
             self._run_chunk(
-                window, staged, rand_pool, 1, lang_run, init_mode,
-                cadence=False,
+                window, staged, rand_pool, n_prog, lang_run, init_mode,
+                cadence=False, n_live=1,
             )
             self._visibility_prune(window)
             return False
