@@ -33,6 +33,17 @@ DEADLINES_S = (1800.0, 600.0, 600.0)
 
 
 def _measure(q):
+    # Harness test hooks (tests/test_bench_harness.py): fake a
+    # measurement / a crash / a wedge without touching the TPU.
+    fake = os.environ.get("OLS_BENCH_FAKE")
+    if fake == "crash":
+        raise RuntimeError("fake child crash")
+    if fake == "hang":
+        time.sleep(3600)
+    if fake:
+        q.put(float(fake))
+        return
+
     import jax
 
     # Persistent compile cache: the ConvNeXt-L 768² program is a long
