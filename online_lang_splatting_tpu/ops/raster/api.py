@@ -40,6 +40,9 @@ class RasterSettings(NamedTuple):
     backend: str = "auto"
     # Capacity knobs for the tiled backend (instances = Gaussian×tile dups).
     max_instances: int | None = None
+    # Per-Gaussian gradient reduction ("scatter" | "emission"); None takes
+    # the OLS_GRAD_REDUCE env default (config.GRAD_REDUCE).
+    grad_reduce: str | None = None
 
 
 def grow_bucket(current: int, demand: int, margin: float = 1.25) -> int:
@@ -172,6 +175,7 @@ def _rasterize_highp(
             prep, language_features, bg,
             width=settings.image_width, height=settings.image_height,
             tile=settings.tile, max_instances=settings.max_instances,
+            grad_reduce=settings.grad_reduce,
         )
     return RasterOutput(
         color=out.color,

@@ -84,6 +84,13 @@ class SortedBinning(NamedTuple):
                          # real instances at all
     num_instances: jax.Array  # () int32
     overflow: jax.Array       # () bool
+    # Emission-order reduction support (None unless requested): emission
+    # index per sorted instance — an exact permutation of [0, cap) — and
+    # the first emission index of each ORIGINAL Gaussian id. A Gaussian's
+    # instances occupy the contiguous emission range
+    # [emit_start[g], emit_start[g] + tiles_touched[g]).
+    s_emit: jax.Array | None = None      # (cap,) int32
+    emit_start: jax.Array | None = None  # (P,) int32
 
 
 def _sorted_core(prep: Preprocessed, tiles_x: int, tiles_y: int,
@@ -192,14 +199,19 @@ def _sorted_core(prep: Preprocessed, tiles_x: int, tiles_y: int,
         ) | inst.astype(jnp.uint32)
         s_key, s_gid = jax.lax.sort((key, orig), num_keys=1)
         s_tile = (s_key >> inst_bits).astype(jnp.int32)
+        # The key's low bits ARE the emission index — recovering it is a
+        # mask, not a payload operand or a gather.
+        s_emit = (
+            s_key & jnp.uint32((1 << inst_bits) - 1)
+        ).astype(jnp.int32)
     else:
-        s_tile, _, s_gid = jax.lax.sort((tile, inst, orig), num_keys=2)
+        s_tile, s_emit, s_gid = jax.lax.sort((tile, inst, orig), num_keys=2)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(s_tile, tile_ids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(s_tile, tile_ids, side="right").astype(jnp.int32)
     counts = ends - starts
-    return s_tile, s_gid, starts, counts, total
+    return s_tile, s_gid, s_emit, starts, counts, total, perm, offsets
 
 
 def bin_gaussians_sorted(
@@ -210,17 +222,30 @@ def bin_gaussians_sorted(
     max_instances: int,
     chunk: int = 256,
     tile_px: int = C.DEFAULT_TILE,
+    emission_order: bool = False,
 ) -> SortedBinning:
     """Compact binning (see SortedBinning). `max_instances` must be a
-    multiple of 8*chunk (callers round up)."""
+    multiple of 8*chunk (callers round up). With `emission_order`, also
+    materialize the emission permutation + per-Gaussian emission starts
+    (one extra P-row scatter) for the cumsum-diff gradient reduction."""
     num_tiles = tiles_x * tiles_y
     cap = max_instances
     assert cap % (8 * chunk) == 0, (cap, chunk)
     num_chunks = cap // chunk
 
-    s_tile, s_gid, starts, counts, total = _sorted_core(
-        prep, tiles_x, tiles_y, cap, tile_px
+    s_tile, s_gid, s_emit, starts, counts, total, perm, offsets = (
+        _sorted_core(prep, tiles_x, tiles_y, cap, tile_px)
     )
+    emit_start = None
+    if not emission_order:
+        s_emit = None
+    else:
+        p = perm.shape[0]
+        emit_start = (
+            jnp.zeros((p,), jnp.int32)
+            .at[perm]
+            .set(offsets, unique_indices=True)
+        )
 
     bounds = jnp.arange(1, num_chunks + 1, dtype=jnp.int32) * chunk
     last_in = s_tile[jnp.minimum(bounds - 1, cap - 1)]
@@ -241,6 +266,8 @@ def bin_gaussians_sorted(
         cont=cont.astype(jnp.int32),
         num_instances=total.astype(jnp.int32),
         overflow=total > cap,
+        s_emit=s_emit,
+        emit_start=emit_start,
     )
 
 
@@ -258,7 +285,7 @@ def bin_gaussians(
     slot_cap = slot_capacity(cap, num_tiles, chunk)
     num_chunks = slot_cap // chunk
 
-    s_tile, s_gid, starts, counts, total = _sorted_core(
+    s_tile, s_gid, _, starts, counts, total, _, _ = _sorted_core(
         prep, tiles_x, tiles_y, cap, tile_px
     )
     inst = jnp.arange(cap, dtype=jnp.int32)

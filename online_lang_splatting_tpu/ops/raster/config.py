@@ -32,3 +32,14 @@ N_TOUCHED_T = 0.5
 import os as _os
 
 PER_TILE_CULL = _os.environ.get("OLS_TILE_CULL", "1") != "0"
+
+# Per-Gaussian gradient reduction strategy (tiled._blend_bwd):
+#   "scatter"  — one wide-row XLA scatter-add over Gaussian ids (baseline;
+#                ~18 ms at the 1M bucket, rows serialize on id conflicts).
+#   "emission" — permutation scatter-set into emission order (indices are
+#                unique by construction: the sort key's low bits ARE the
+#                emission index) + cumsum-diff over the per-Gaussian
+#                contiguous emission ranges. No read-modify-write.
+# Env toggle for hardware A/B probes; blend_tiled also takes it as an
+# explicit static parameter (tests exercise both without re-importing).
+GRAD_REDUCE = _os.environ.get("OLS_GRAD_REDUCE", "scatter")

@@ -479,19 +479,21 @@ def _pack_instances(xy, conic, opacity, color, lang, depth, point_list):
     return geom, feat, f_pad, f_out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18))
 def _blend_core(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
-                starts, cont, tile_counts, py_limit, tile, width, height):
+                starts, cont, tile_counts, s_emit, emit_start, emit_count,
+                py_limit, tile, width, height, grad_reduce):
     out, _ = _blend_fwd_impl(
         xy, conic, opacity, color, lang, depth, s_gid, s_tile,
-        starts, cont, tile_counts, py_limit, tile, width, height
+        starts, cont, tile_counts, s_emit, emit_start, emit_count,
+        py_limit, tile, width, height, grad_reduce
     )
     return out
 
 
 def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
-                    starts, cont, tile_counts, py_limit, tile, width,
-                    height):
+                    starts, cont, tile_counts, s_emit, emit_start,
+                    emit_count, py_limit, tile, width, height, grad_reduce):
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
     num_tiles = tiles_x * tiles_y
@@ -559,22 +561,26 @@ def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
     out = (acc, n_touched)
     residuals = (
         xy, conic, opacity, color, lang, depth, acc,
-        s_gid, s_tile, starts, cont, tile_counts, py_limit,
+        s_gid, s_tile, starts, cont, tile_counts,
+        s_emit, emit_start, emit_count, py_limit,
     )
     return out, residuals
 
 
 def _blend_fwd(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
-               starts, cont, tile_counts, py_limit, tile, width, height):
+               starts, cont, tile_counts, s_emit, emit_start, emit_count,
+               py_limit, tile, width, height, grad_reduce):
     return _blend_fwd_impl(
         xy, conic, opacity, color, lang, depth, s_gid, s_tile,
-        starts, cont, tile_counts, py_limit, tile, width, height
+        starts, cont, tile_counts, s_emit, emit_start, emit_count,
+        py_limit, tile, width, height, grad_reduce
     )
 
 
-def _blend_bwd(tile, width, height, residuals, cotangents):
+def _blend_bwd(tile, width, height, grad_reduce, residuals, cotangents):
     (xy, conic, opacity, color, lang, depth, acc_res,
-     s_gid, s_tile, starts, cont, tile_counts, py_limit) = residuals
+     s_gid, s_tile, starts, cont, tile_counts,
+     s_emit, emit_start, emit_count, py_limit) = residuals
     g_acc, _ = cotangents  # n_touched is int — no cotangent
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
@@ -635,15 +641,26 @@ def _blend_bwd(tile, width, height, residuals, cotangents):
         interpret=_interpret(),
     )(starts, cont, py_limit, geom, feat, tile_rows, g_acc, acc_res)
 
-    # Segment-sum per-instance grads back to per-Gaussian grads as ONE
-    # wide-row scatter-add (six narrow scatters each pay full random-access
-    # cost; a single (S, D) row scatter moves the same bytes far faster).
+    # Segment-sum per-instance grads back to per-Gaussian grads.
     p = xy.shape[0]
-    ids = jnp.where(s_gid >= 0, s_gid, p)
     rows = jnp.concatenate([dgeom[0:6], dfeat[: 3 + f_lang + 1]], axis=0).T
-    table = jnp.zeros((p, rows.shape[1]), xy.dtype).at[ids].add(
-        rows, mode="drop"
-    )
+    if grad_reduce == "emission":
+        # Permutation scatter-SET into emission order (indices unique by
+        # construction — no read-modify-write serialization), then each
+        # Gaussian's grad is a cumsum difference over its contiguous
+        # emission range. Culled/padding instances carry zero grad rows,
+        # so scattering them inside a live range is harmless.
+        table = _emission_segment_sum(
+            rows, s_emit, emit_start, emit_count, p, num_tiles
+        )
+    else:
+        # ONE wide-row scatter-add over Gaussian ids (six narrow scatters
+        # each pay full random-access cost; a single (S, D) row scatter
+        # moves the same bytes far faster).
+        ids = jnp.where(s_gid >= 0, s_gid, p)
+        table = jnp.zeros((p, rows.shape[1]), xy.dtype).at[ids].add(
+            rows, mode="drop"
+        )
     d_xy = table[:, 0:2]
     d_conic = table[:, 2:5]
     d_op = table[:, 5]
@@ -651,7 +668,46 @@ def _blend_bwd(tile, width, height, residuals, cotangents):
     d_lang = table[:, 9 : 9 + f_lang]
     d_depth = table[:, 9 + f_lang]
     return (d_xy, d_conic, d_op, d_color, d_lang, d_depth,
-            None, None, None, None, None, None)
+            None, None, None, None, None, None, None, None, None)
+
+
+def _emission_segment_sum(rows, s_emit, emit_start, emit_count, p,
+                          num_tiles):
+    """Sum per-instance rows (sorted order) per ORIGINAL Gaussian id via
+    the emission permutation: scatter-set to emission order (unique
+    indices), SEGMENTED prefix sum resetting at each Gaussian's emission
+    start, then one gather at each segment's last element.
+
+    A global cumsum + difference would be cheaper but numerically unsafe:
+    prefix magnitudes dwarf per-segment sums, so the f32 difference
+    cancels catastrophically. The segmented scan keeps summation order
+    and error confined within each segment, whose length is bounded by
+    tiles_touched <= num_tiles — so the jump-carry needs only
+    ceil(log2(num_tiles)) passes, not log2(cap)."""
+    cap = s_emit.shape[0]
+    emit_rows = (
+        jnp.zeros_like(rows)
+        .at[s_emit]
+        .set(rows, unique_indices=True)
+    )
+    count = emit_count.astype(jnp.int32)
+    start = jnp.clip(emit_start, 0, cap)
+    live_start = jnp.where(count > 0, start, cap)
+    blocked = (
+        jnp.zeros((cap,), bool).at[live_start].set(True, mode="drop")
+    )
+    x = emit_rows
+    f = blocked
+    s = 1
+    max_run = min(cap, max(num_tiles, 1))
+    while s < max_run:
+        xs = jnp.pad(x, ((s, 0), (0, 0)))[:cap]
+        fs = jnp.pad(f, (s, 0), constant_values=True)[:cap]
+        x = jnp.where(f[:, None], x, x + xs)
+        f = f | fs
+        s *= 2
+    last = jnp.clip(start + count - 1, 0, cap - 1)
+    return jnp.where((count > 0)[:, None], x[last], 0.0)
 
 
 _blend_core.defvjp(_blend_fwd, _blend_bwd)
@@ -668,15 +724,21 @@ def blend_tiled(
     max_instances: int | None = None,
     chunk: int = CHUNK,
     py_limit: jax.Array | None = None,
+    grad_reduce: str | None = None,
 ):
     """Full tiled pipeline: bin → Pallas blend → image assembly.
 
     Returns the same BlendOutput as the oracle. Gradients flow to every
     preprocessed quantity through the custom VJP; binning indices are
-    non-differentiable by construction.
+    non-differentiable by construction. `grad_reduce` picks the
+    per-Gaussian gradient reduction ("scatter" | "emission"); None takes
+    the OLS_GRAD_REDUCE env default (config.GRAD_REDUCE).
     """
     from .oracle import BlendOutput
 
+    if grad_reduce is None:
+        grad_reduce = C.GRAD_REDUCE
+    assert grad_reduce in ("scatter", "emission"), grad_reduce
     p = prep.xy.shape[0]
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
@@ -689,6 +751,7 @@ def blend_tiled(
     binning = bin_gaussians_sorted(
         prep, tiles_x=tiles_x, tiles_y=tiles_y,
         max_instances=max_instances, chunk=chunk, tile_px=tile,
+        emission_order=(grad_reduce == "emission"),
     )
     lang = (
         language_features
@@ -701,17 +764,43 @@ def blend_tiled(
         py_limit = jnp.full((1,), height, jnp.int32)
     else:
         py_limit = jnp.asarray(py_limit, jnp.int32).reshape(1)
+    if grad_reduce == "emission":
+        s_emit, emit_start = binning.s_emit, binning.emit_start
+        emit_count = prep.tiles_touched.astype(jnp.int32)
+    else:
+        # Size-0 placeholders keep the custom_vjp arity static; the
+        # "scatter" trace never touches them.
+        s_emit = jnp.zeros((0,), jnp.int32)
+        emit_start = jnp.zeros((0,), jnp.int32)
+        emit_count = jnp.zeros((0,), jnp.int32)
     acc, nt_chunks = _blend_core(
         prep.xy, prep.conic, prep.opacity, prep.color, lang,
         jnp.where(prep.valid, prep.depth, 0.0),
         binning.s_gid, binning.s_tile, binning.starts, binning.cont,
-        binning.tile_counts, py_limit, tile, width, height,
+        binning.tile_counts, s_emit, emit_start, emit_count, py_limit,
+        tile, width, height, grad_reduce,
     )
 
     # n_touched: per-chunk rows -> per-instance -> per-Gaussian.
-    ids = jnp.maximum(binning.s_gid, 0)
     nt_inst = jnp.where(binning.s_gid >= 0, nt_chunks.reshape(-1), 0)
-    n_touched = jnp.zeros((p,), jnp.int32).at[ids].add(nt_inst)
+    if grad_reduce == "emission":
+        # Ints are exact under cumsum, so the cheap global-prefix
+        # difference applies (no segmented scan needed).
+        cap = s_emit.shape[0]
+        emit_nt = (
+            jnp.zeros((cap,), jnp.int32)
+            .at[s_emit]
+            .set(nt_inst, unique_indices=True)
+        )
+        cs0 = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(emit_nt)]
+        )
+        start = jnp.clip(emit_start, 0, cap)
+        end = jnp.clip(emit_start + emit_count, 0, cap)
+        n_touched = cs0[end] - cs0[start]
+    else:
+        ids = jnp.maximum(binning.s_gid, 0)
+        n_touched = jnp.zeros((p,), jnp.int32).at[ids].add(nt_inst)
 
     def tiles_to_image(tiles_arr):  # (T+1, k, pix) -> (k, H, W)
         k = tiles_arr.shape[1]

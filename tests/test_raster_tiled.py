@@ -112,6 +112,65 @@ def test_gradient_parity(wrt):
         )
 
 
+def test_emission_grad_reduce_parity():
+    """The emission-order gradient reduction (permutation scatter-set +
+    segmented scan) must match the scatter-add baseline and the oracle:
+    same forward outputs, same n_touched, near-identical grads."""
+    scene = random_scene(n=120, width=64, height=48, seed=11, lang_dim=8)
+    bg = jnp.array([0.3, 0.1, 0.5])
+    gw = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8,)), dtype=jnp.float32
+    )
+
+    def loss(settings, means, scales, opac, lang):
+        out = rasterize(
+            means, opac, scales, scene["quats"], shs=scene["shs"],
+            language_features=lang, viewmatrix=scene["viewmatrix"],
+            projmatrix=scene["projmatrix"], settings=settings, bg=bg,
+        )
+        val = (
+            jnp.abs(out.color).sum()
+            + (out.language * gw[:, None, None]).sum()
+            + 1.7 * out.depth.sum()
+            + 0.9 * out.opacity.sum()
+        )
+        return val, out
+
+    args = (
+        scene["means3d"], scene["scales"], scene["opacities"],
+        scene["language_features"],
+    )
+    grads, outs = {}, {}
+    for mode in ("scatter", "emission", "oracle"):
+        if mode == "oracle":
+            st = scene["settings"]._replace(backend="oracle")
+        else:
+            st = scene["settings"]._replace(backend="tpu", grad_reduce=mode)
+        grads[mode], outs[mode] = jax.grad(
+            lambda *a: loss(st, *a), argnums=(0, 1, 2, 3), has_aux=True
+        )(*args)
+
+    # Forward path is untouched by the reduction choice: bit-identical.
+    np.testing.assert_array_equal(
+        np.asarray(outs["emission"].color), np.asarray(outs["scatter"].color)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs["emission"].n_touched),
+        np.asarray(outs["scatter"].n_touched),
+    )
+    for ge, gs, go in zip(grads["emission"], grads["scatter"],
+                          grads["oracle"]):
+        scale = np.abs(np.asarray(go)).max() + 1e-8
+        # vs the scatter baseline: only f32 summation order differs.
+        np.testing.assert_allclose(
+            np.asarray(ge) / scale, np.asarray(gs) / scale, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(ge) / scale, np.asarray(go) / scale,
+            atol=2e-5, rtol=1e-3,
+        )
+
+
 def test_overflow_flag():
     from online_lang_splatting_tpu.ops.raster.binning import bin_gaussians
     from online_lang_splatting_tpu.ops.raster.preprocess import preprocess

@@ -126,13 +126,14 @@ def main():
             prep_d, lang, bin_d.s_gid)
 
         lim = jnp.full((1,), h, jnp.int32)
+        z0 = jnp.zeros((0,), jnp.int32)
 
         def core_fwd(prep, lang, b):
             acc, nt = T._blend_core(
                 prep.xy, prep.conic, prep.opacity, prep.color, lang,
                 jnp.where(prep.valid, prep.depth, 0.0),
                 b.s_gid, b.s_tile, b.starts, b.cont, b.tile_counts,
-                lim, tile, w, h,
+                z0, z0, z0, lim, tile, w, h, "scatter",
             )
             return acc.sum() + nt.sum()
 
@@ -144,7 +145,7 @@ def main():
                 acc, _ = T._blend_core(
                     xy, conic, opac_, color, lang_, depth_,
                     b.s_gid, b.s_tile, b.starts, b.cont, b.tile_counts,
-                    lim, tile, w, h,
+                    z0, z0, z0, lim, tile, w, h, "scatter",
                 )
                 return acc.sum()
             return jax.grad(f, argnums=(0, 1, 2, 3, 4, 5))(
