@@ -25,6 +25,13 @@ import time
 import numpy as np
 
 BASELINE_FPS = 40.0  # reference claim on RTX A4500
+
+
+def _retry_sleep(default: float) -> float:
+    """Backoff before a retry, letting the TPU relay settle. Env-tunable
+    so the harness tests don't pay real relay-settle time for fake
+    children (OLS_BENCH_RETRY_SLEEP=0)."""
+    return float(os.environ.get("OLS_BENCH_RETRY_SLEEP", default))
 # Per-attempt deadlines: the first tolerates a healthy-but-degraded relay
 # compile (observed 15+ min for this extractor program when the relay is
 # slow, CLAUDE.md); retries run against a now-warm compile cache, where
@@ -120,7 +127,7 @@ def main():
             print(f"[bench] attempt {attempt + 1} made no progress in "
                   f"{deadline:.0f}s (relay wedge?) — retrying",
                   file=sys.stderr, flush=True)
-            time.sleep(90.0)
+            time.sleep(_retry_sleep(90.0))
         else:
             # Crashed with an exception (its traceback went to stderr).
             # Transient relay errors ("Broken pipe") deserve a retry;
@@ -128,7 +135,7 @@ def main():
             print(f"[bench] attempt {attempt + 1} exited with code "
                   f"{child.exitcode} — retrying", file=sys.stderr,
                   flush=True)
-            time.sleep(10.0)
+            time.sleep(_retry_sleep(10.0))
     print(json.dumps({
         "metric": "lang_feature_map_fps_192x192x768",
         "value": 0.0,

@@ -98,7 +98,10 @@ def _sorted_core(prep: Preprocessed, tiles_x: int, tiles_y: int,
     """Shared front half of both binning layouts: depth pre-sort,
     instance expansion with the exact (Gaussian, tile) alpha cull,
     single-u32-key tile sort, per-tile ranges.
-    Returns (s_tile, s_gid, starts, counts, total)."""
+    Returns (s_tile, s_gid, s_emit, starts, counts, total, perm, offsets):
+    sorted tile/gid/emission-index arrays, per-tile starts/counts, the
+    total instance demand, the depth-sort permutation, and each
+    depth-sorted Gaussian's first emission index."""
     num_tiles = tiles_x * tiles_y
     p = prep.depth.shape[0]
 

@@ -707,7 +707,11 @@ def _emission_segment_sum(rows, s_emit, emit_start, emit_count, p,
         f = f | fs
         s *= 2
     last = jnp.clip(start + count - 1, 0, cap - 1)
-    return jnp.where((count > 0)[:, None], x[last], 0.0)
+    # Under capacity overflow a fully-truncated Gaussian (emit_start >=
+    # cap) must yield zero, not the straddling Gaussian's partial sum at
+    # x[cap-1].
+    ok = (count > 0) & (emit_start < cap)
+    return jnp.where(ok[:, None], x[last], 0.0)
 
 
 _blend_core.defvjp(_blend_fwd, _blend_bwd)

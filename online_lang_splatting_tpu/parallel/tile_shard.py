@@ -121,6 +121,7 @@ def _band_blend(inputs: RenderInputs, view, proj, settings: RasterSettings,
             py_limit=jnp.clip(
                 settings.image_height - band_idx * band_h, 0, band_h
             ),
+            grad_reduce=settings.grad_reduce,
         )
         return out, prep.radius
 

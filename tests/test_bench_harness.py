@@ -12,7 +12,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(fake, extra_env=None, timeout=120):
-    env = dict(os.environ, OLS_BENCH_FAKE=fake)
+    # Retry backoff exists to let the real relay settle — pure dead time
+    # for fake children.
+    env = dict(os.environ, OLS_BENCH_FAKE=fake, OLS_BENCH_RETRY_SLEEP="0")
     env.update(extra_env or {})
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

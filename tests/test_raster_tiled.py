@@ -171,6 +171,25 @@ def test_emission_grad_reduce_parity():
         )
 
 
+def test_emission_segment_sum_truncated_gaussian_is_zero():
+    """Under instance-capacity overflow, a Gaussian whose instances were
+    ALL truncated (emit_start >= cap) must get zero grads — not the
+    straddling Gaussian's partial sum at x[cap-1]."""
+    from online_lang_splatting_tpu.ops.raster.tiled import (
+        _emission_segment_sum,
+    )
+
+    cap = 8
+    rows = jnp.arange(cap, dtype=jnp.float32).reshape(cap, 1) + 1.0
+    s_emit = jnp.arange(cap, dtype=jnp.int32)  # identity permutation
+    emit_start = jnp.array([0, 6, 12], jnp.int32)
+    emit_count = jnp.array([6, 6, 4], jnp.int32)
+    out = np.asarray(
+        _emission_segment_sum(rows, s_emit, emit_start, emit_count, 3, 16)
+    )
+    np.testing.assert_allclose(out[:, 0], [21.0, 15.0, 0.0])
+
+
 def test_overflow_flag():
     from online_lang_splatting_tpu.ops.raster.binning import bin_gaussians
     from online_lang_splatting_tpu.ops.raster.preprocess import preprocess

@@ -1,0 +1,53 @@
+#!/bin/bash
+# Round-3 hardware validation queue (memory: round3-hardware-pending).
+# Run when the TPU tunnel is healthy:  bash tools/hw_queue.sh [logdir]
+# Each step is timeout-bounded and logged separately so a wedged remote
+# compile can be attributed and the rest of the queue still runs.
+set -u
+LOG=${1:-/tmp/hwq}
+mkdir -p "$LOG"
+cd "$(dirname "$0")/.."
+
+step() {
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name ($(date -u +%FT%TZ)) ==="
+  ( timeout "$tmo" "$@" ) > "$LOG/$name.log" 2>&1
+  local rc=$?
+  tail -25 "$LOG/$name.log"
+  echo "--- $name exit=$rc"
+}
+
+# 0. Tunnel sanity (tiny matmul).
+step 00_ping 180 python - <<'EOF'
+import jax, jax.numpy as jnp
+x = jnp.ones((128,128), jnp.bfloat16)
+print("ping ok", float((x@x).sum()), jax.devices())
+EOF
+
+# 1. Grad-reduction micro-alternatives (decides emission-order viability).
+step 01_probe_scatter 1800 python tools/kernel_probe.py --variants scatter
+
+# 2. Saturated fwd+bwd after the scan eliminations (was 96.3 ms).
+step 02_stage7_scatter 2400 python tools/tpu_scale_check.py --stage 7
+
+# 3. Same with the emission-order grad reduction (A/B via env).
+OLS_GRAD_REDUCE=emission step 03_stage7_emission 2400 \
+  python tools/tpu_scale_check.py --stage 7
+
+# 4. Golden parity replay, both reduction modes.
+step 04_parity_scatter 2400 python tools/tpu_raster_parity.py
+OLS_GRAD_REDUCE=emission step 05_parity_emission 2400 \
+  python tools/tpu_raster_parity.py
+
+# 5. Chunk/AE-replay timing decomposition (init non-render overhead).
+OLS_CHUNK_TIMING=1 step 06_chunk_timing 3600 \
+  python tools/replica_scale_gate.py --max-frames 4 --no-gates
+
+# 6. 40-frame gate: cold + warm (best recorded was 0.036 FPS warm).
+step 07_gate40_cold 5400 python tools/replica_scale_gate.py --max-frames 40
+step 08_gate40_warm 5400 python tools/replica_scale_gate.py --max-frames 40
+
+# 7. Headline bench (was 54.75 FPS).
+step 09_bench 1800 python bench.py
+
+echo "=== queue done ($(date -u +%FT%TZ)); logs in $LOG ==="
