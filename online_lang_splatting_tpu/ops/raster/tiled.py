@@ -143,7 +143,8 @@ def _chunk_alpha(geom, tile_id, tiles_x: int, tile: int, pix: int,
     dx = x - px  # (CHUNK, pix)
     dy = y - py
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    alpha_raw = op * jnp.exp(power)
+    expp = jnp.exp(power)
+    alpha_raw = op * expp
     alpha_cl = jnp.minimum(C.ALPHA_MAX, alpha_raw)
     skip = (power > 0.0) | (alpha_cl < C.ALPHA_MIN) | ~gvalid
     if row_lo is not None:
@@ -151,8 +152,8 @@ def _chunk_alpha(geom, tile_id, tiles_x: int, tile: int, pix: int,
         skip = skip | (rows < row_lo) | (rows >= row_hi)
     alpha = jnp.where(skip, 0.0, alpha_cl)
     return dict(
-        alpha=alpha, skip=skip, power=power, alpha_raw=alpha_raw,
-        dx=dx, dy=dy, in_tile=in_tile, px=px, py=py,
+        alpha=alpha, skip=skip, power=power, expp=expp,
+        alpha_raw=alpha_raw, dx=dx, dy=dy, in_tile=in_tile, px=px, py=py,
     )
 
 
@@ -393,7 +394,7 @@ def _bwd_kernel(
                     # dpower = (dalpha*expp)*op shares one product with dop.
                     gt = geom_ref[...].T
                     de = jnp.where(
-                        not_clamped, dalpha * jnp.exp(a["power"]), 0.0
+                        not_clamped, dalpha * a["expp"], 0.0
                     )
                     dop = jnp.sum(de, axis=1)
                     dpower = de * gt[:, 5:6]
