@@ -422,8 +422,10 @@ def _bwd_kernel(
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
                     )  # (f_pad, CHUNK)
-                    carry_s[...] = carry_s[...] - jnp.sum(
-                        wg, axis=0, keepdims=True
+                    # The chunk's wG total is the inclusive prefix sum's
+                    # last row — no second full reduction.
+                    carry_s[...] = (
+                        carry_s[...] - prefix_incl[CHUNK - 1 : CHUNK]
                     )
                     t_s[...] = t_new
                     done_s[...] = done_new
