@@ -13,9 +13,13 @@ NUM_COLOR_CHANNELS = 3
 DEFAULT_LANGUAGE_CHANNELS = 15
 DEFAULT_TILE = 16  # TPU-preferred; set 15 to bit-match the reference engine.
 
+import os as _os
+
 # Instances per blend-kernel grid step; instance buckets are quantized to
-# 8 chunks (tiled.CHUNK re-exports this).
-BLEND_CHUNK = 256
+# 8 chunks (tiled.CHUNK re-exports this). Env-toggleable for hardware
+# A/B probes (512 measured WORSE in round 2 — padding and VPU working
+# set outgrow the win; 128 untested).
+BLEND_CHUNK = int(_os.environ.get("OLS_BLEND_CHUNK", "256"))
 
 # Blend-loop numerics (forward.cu:464-485).
 ALPHA_MAX = 0.99
@@ -29,8 +33,6 @@ N_TOUCHED_T = 0.5
 # (output-preserving; see preprocess.tile_keeps_instance). Trades ~6 extra
 # carried rows in the expansion's jump-carry for fewer active blend
 # chunks; the env toggle exists so hardware probes can A/B it.
-import os as _os
-
 PER_TILE_CULL = _os.environ.get("OLS_TILE_CULL", "1") != "0"
 
 # Per-Gaussian gradient reduction strategy (tiled._blend_bwd):
@@ -38,7 +40,7 @@ PER_TILE_CULL = _os.environ.get("OLS_TILE_CULL", "1") != "0"
 #                ~18 ms at the 1M bucket, rows serialize on id conflicts).
 #   "emission" — permutation scatter-set into emission order (indices are
 #                unique by construction: the sort key's low bits ARE the
-#                emission index) + cumsum-diff over the per-Gaussian
+#                emission index) + segmented scan over the per-Gaussian
 #                contiguous emission ranges. No read-modify-write.
 # Env toggle for hardware A/B probes; blend_tiled also takes it as an
 # explicit static parameter (tests exercise both without re-importing).
