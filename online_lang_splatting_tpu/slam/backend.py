@@ -485,8 +485,10 @@ class FrameStack:
     # 64 iters ~ 7 s), and each dispatch through the remote relay costs
     # ~1-2 s of submission overhead — quartering the dispatch count cuts
     # the init phase materially.
-    MAP_CHUNK = 16
-    INIT_CHUNK = 64
+    # Env-tunable so a hardware session can re-probe after kernel-cost
+    # changes (a faster render lifts the safe chunk length).
+    MAP_CHUNK = int(_os.environ.get("OLS_MAP_CHUNK", "16"))
+    INIT_CHUNK = int(_os.environ.get("OLS_INIT_CHUNK", "64"))
 
     def __init__(self, h: int, w: int, lang_dim: int, cap: int = 16,
                  lang_hw=(192, 192)):
