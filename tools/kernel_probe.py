@@ -250,6 +250,31 @@ def main():
             lambda i, r: jnp.zeros((p, 8), jnp.float32).at[i].add(
                 r, mode="drop")), ids, rows8)
 
+        # PRODUCTION reductions head-to-head on REAL binning data (same
+        # s_gid/s_emit/emit_start the blend backward would use): this is
+        # the number that decides OLS_GRAD_REDUCE.
+        b_em = BN.bin_gaussians_sorted(
+            prep_d, tiles_x=tiles_x, tiles_y=tiles_y,
+            max_instances=max_instances, chunk=T.CHUNK,
+            emission_order=True,
+        )
+        emit_count = prep_d.tiles_touched.astype(jnp.int32)
+        sgid = b_em.s_gid
+
+        def prod_scatter(r):
+            i = jnp.where(sgid >= 0, sgid, p)
+            return jnp.zeros((p, 25), jnp.float32).at[i].add(
+                r, mode="drop")
+        timeit("PROD scatter-add (real ids)", jax.jit(prod_scatter), rows)
+
+        def prod_emission(r):
+            return T._emission_segment_sum(
+                r, b_em.s_emit, b_em.emit_start, emit_count, p,
+                tiles_x * tiles_y,
+            )
+        timeit("PROD emission segmented-scan (real perm)",
+               jax.jit(prod_emission), rows)
+
 
 if __name__ == "__main__":
     main()
