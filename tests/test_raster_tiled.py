@@ -122,11 +122,12 @@ def test_emission_grad_reduce_parity():
         np.random.default_rng(0).normal(size=(8,)), dtype=jnp.float32
     )
 
-    def loss(settings, means, scales, opac, lang):
+    def loss(settings, means, scales, opac, lang, rho, theta):
         out = rasterize(
             means, opac, scales, scene["quats"], shs=scene["shs"],
             language_features=lang, viewmatrix=scene["viewmatrix"],
             projmatrix=scene["projmatrix"], settings=settings, bg=bg,
+            cam_trans_delta=rho, cam_rot_delta=theta,
         )
         val = (
             jnp.abs(out.color).sum()
@@ -138,7 +139,7 @@ def test_emission_grad_reduce_parity():
 
     args = (
         scene["means3d"], scene["scales"], scene["opacities"],
-        scene["language_features"],
+        scene["language_features"], jnp.zeros(3), jnp.zeros(3),
     )
     grads, outs = {}, {}
     for mode in ("scatter", "emission", "oracle"):
@@ -147,7 +148,8 @@ def test_emission_grad_reduce_parity():
         else:
             st = scene["settings"]._replace(backend="tpu", grad_reduce=mode)
         grads[mode], outs[mode] = jax.grad(
-            lambda *a: loss(st, *a), argnums=(0, 1, 2, 3), has_aux=True
+            lambda *a: loss(st, *a), argnums=(0, 1, 2, 3, 4, 5),
+            has_aux=True,
         )(*args)
 
     # Forward path is untouched by the reduction choice: bit-identical.
