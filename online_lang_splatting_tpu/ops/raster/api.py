@@ -43,6 +43,9 @@ class RasterSettings(NamedTuple):
     # Per-Gaussian gradient reduction ("scatter" | "emission"); None takes
     # the OLS_GRAD_REDUCE env default (config.GRAD_REDUCE).
     grad_reduce: str | None = None
+    # stats=False skips n_touched/n_contrib kernel bookkeeping (outputs
+    # zero) for render loops that never read them (tracking iterations).
+    stats: bool = True
 
 
 def grow_bucket(current: int, demand: int, margin: float = 1.25) -> int:
@@ -175,7 +178,7 @@ def _rasterize_highp(
             prep, language_features, bg,
             width=settings.image_width, height=settings.image_height,
             tile=settings.tile, max_instances=settings.max_instances,
-            grad_reduce=settings.grad_reduce,
+            grad_reduce=settings.grad_reduce, stats=settings.stats,
         )
     return RasterOutput(
         color=out.color,

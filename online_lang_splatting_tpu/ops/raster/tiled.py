@@ -199,7 +199,7 @@ def _fwd_kernel(
     # scratch
     t_s, done_s, acc_s, stage_s, nt_s, nc_s, meta_s, sem,
     *, tiles_x: int, num_tiles: int, tile: int, pix: int, f_pad: int,
-    f_out: int, width: int, num_chunks: int,
+    f_out: int, width: int, num_chunks: int, stats: bool,
 ):
     c = pl.program_id(0)
     base = c * CHUNK
@@ -254,27 +254,36 @@ def _fwd_kernel(
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
                     )
-                    # py limit is DYNAMIC (scalar prefetch): a band-parallel
-                    # caller renders a strip whose valid-row count depends on
-                    # the band index (parallel/tile_shard.py); single-device
-                    # callers pass the static image height.
-                    pix_ok = (
-                        a["in_tile"] & (a["px"] < width) & (a["py"] < lim)
-                    )
-                    touched = contrib & (test_t > C.N_TOUCHED_T) & pix_ok
-                    nt_s[pl.ds(nt_row, 1), :] += jnp.sum(
-                        touched, axis=1, dtype=jnp.int32
-                    ).reshape(1, CHUNK)
-                    # last-contributor index within the tile's instance
-                    # sequence (1-based, 0 = none) — the CUDA kernels'
-                    # n_contrib (forward.cu:515-644).
-                    glob = (
-                        _row_iota(contrib.shape) + 1 + (base - t_start)
-                    ).astype(jnp.float32)
-                    cand = jnp.max(
-                        jnp.where(contrib, glob, 0.0), axis=0, keepdims=True
-                    )
-                    nc_s[...] = jnp.maximum(nc_s[...], cand)
+                    # n_touched/n_contrib bookkeeping is ~7 of the ~40 VPU
+                    # passes per segment; callers that never read them
+                    # (tracking-loop renders) compile with stats=False.
+                    if stats:
+                        # py limit is DYNAMIC (scalar prefetch): a
+                        # band-parallel caller renders a strip whose
+                        # valid-row count depends on the band index
+                        # (parallel/tile_shard.py); single-device callers
+                        # pass the static image height.
+                        pix_ok = (
+                            a["in_tile"] & (a["px"] < width)
+                            & (a["py"] < lim)
+                        )
+                        touched = (
+                            contrib & (test_t > C.N_TOUCHED_T) & pix_ok
+                        )
+                        nt_s[pl.ds(nt_row, 1), :] += jnp.sum(
+                            touched, axis=1, dtype=jnp.int32
+                        ).reshape(1, CHUNK)
+                        # last-contributor index within the tile's instance
+                        # sequence (1-based, 0 = none) — the CUDA kernels'
+                        # n_contrib (forward.cu:515-644).
+                        glob = (
+                            _row_iota(contrib.shape) + 1 + (base - t_start)
+                        ).astype(jnp.float32)
+                        cand = jnp.max(
+                            jnp.where(contrib, glob, 0.0),
+                            axis=0, keepdims=True,
+                        )
+                        nc_s[...] = jnp.maximum(nc_s[...], cand)
                     t_s[...] = t_new
                     done_s[...] = done_new
 
@@ -288,7 +297,8 @@ def _fwd_kernel(
                     # final_T rides as channel row f_out of the flushed
                     # tile and n_contrib as row f_out+1.
                     acc_s[pl.ds(f_out, 1), :] = t_s[...]
-                    acc_s[pl.ds(f_out + 1, 1), :] = nc_s[...]
+                    if stats:
+                        acc_s[pl.ds(f_out + 1, 1), :] = nc_s[...]
                     flush_wait()
                     stage_s[...] = acc_s[...]
                     pltpu.make_async_copy(
@@ -482,21 +492,22 @@ def _pack_instances(xy, conic, opacity, color, lang, depth, point_list):
     return geom, feat, f_pad, f_out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19))
 def _blend_core(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
                 starts, cont, tile_counts, s_emit, emit_start, emit_count,
-                py_limit, tile, width, height, grad_reduce):
+                py_limit, tile, width, height, grad_reduce, stats):
     out, _ = _blend_fwd_impl(
         xy, conic, opacity, color, lang, depth, s_gid, s_tile,
         starts, cont, tile_counts, s_emit, emit_start, emit_count,
-        py_limit, tile, width, height, grad_reduce
+        py_limit, tile, width, height, grad_reduce, stats
     )
     return out
 
 
 def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
                     starts, cont, tile_counts, s_emit, emit_start,
-                    emit_count, py_limit, tile, width, height, grad_reduce):
+                    emit_count, py_limit, tile, width, height, grad_reduce,
+                    stats):
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
     num_tiles = tiles_x * tiles_y
@@ -512,7 +523,7 @@ def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
     kern = functools.partial(
         _fwd_kernel, tiles_x=tiles_x, num_tiles=num_tiles, tile=tile,
         pix=pix, f_pad=f_pad, f_out=f_out, width=width,
-        num_chunks=num_chunks,
+        num_chunks=num_chunks, stats=stats,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -572,15 +583,16 @@ def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
 
 def _blend_fwd(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
                starts, cont, tile_counts, s_emit, emit_start, emit_count,
-               py_limit, tile, width, height, grad_reduce):
+               py_limit, tile, width, height, grad_reduce, stats):
     return _blend_fwd_impl(
         xy, conic, opacity, color, lang, depth, s_gid, s_tile,
         starts, cont, tile_counts, s_emit, emit_start, emit_count,
-        py_limit, tile, width, height, grad_reduce
+        py_limit, tile, width, height, grad_reduce, stats
     )
 
 
-def _blend_bwd(tile, width, height, grad_reduce, residuals, cotangents):
+def _blend_bwd(tile, width, height, grad_reduce, stats, residuals,
+               cotangents):
     (xy, conic, opacity, color, lang, depth, acc_res,
      s_gid, s_tile, starts, cont, tile_counts,
      s_emit, emit_start, emit_count, py_limit) = residuals
@@ -732,6 +744,7 @@ def blend_tiled(
     chunk: int = CHUNK,
     py_limit: jax.Array | None = None,
     grad_reduce: str | None = None,
+    stats: bool = True,
 ):
     """Full tiled pipeline: bin → Pallas blend → image assembly.
 
@@ -739,7 +752,10 @@ def blend_tiled(
     preprocessed quantity through the custom VJP; binning indices are
     non-differentiable by construction. `grad_reduce` picks the
     per-Gaussian gradient reduction ("scatter" | "emission"); None takes
-    the OLS_GRAD_REDUCE env default (config.GRAD_REDUCE).
+    the OLS_GRAD_REDUCE env default (config.GRAD_REDUCE). With
+    `stats=False` the kernel skips n_touched/n_contrib bookkeeping
+    (those outputs come back zero) — for render loops that never read
+    them, e.g. tracking iterations.
     """
     from .oracle import BlendOutput
 
@@ -785,12 +801,14 @@ def blend_tiled(
         jnp.where(prep.valid, prep.depth, 0.0),
         binning.s_gid, binning.s_tile, binning.starts, binning.cont,
         binning.tile_counts, s_emit, emit_start, emit_count, py_limit,
-        tile, width, height, grad_reduce,
+        tile, width, height, grad_reduce, stats,
     )
 
     # n_touched: per-chunk rows -> per-instance -> per-Gaussian.
     nt_inst = jnp.where(binning.s_gid >= 0, nt_chunks.reshape(-1), 0)
-    if grad_reduce == "emission":
+    if not stats:
+        n_touched = jnp.zeros((p,), jnp.int32)
+    elif grad_reduce == "emission":
         # Ints are exact under cumsum, so the cheap global-prefix
         # difference applies (no segmented scan needed).
         cap = s_emit.shape[0]

@@ -121,7 +121,7 @@ def _band_blend(inputs: RenderInputs, view, proj, settings: RasterSettings,
             py_limit=jnp.clip(
                 settings.image_height - band_idx * band_h, 0, band_h
             ),
-            grad_reduce=settings.grad_reduce,
+            grad_reduce=settings.grad_reduce, stats=settings.stats,
         )
         return out, prep.radius
 
@@ -206,10 +206,14 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
     denom_rgb = 3.0 * h * w
     denom_depth = 1.0 * h * w
 
+    # Loop renders never read n_touched — skip that kernel bookkeeping;
+    # the final render (visibility psum) keeps it.
+    loop_settings = settings._replace(stats=False)
+
     def band_loss(inputs, rho, theta, ea, eb, view, proj,
                   gt_image_p, gt_depth_p, grad_mask_p, k):
         out, _ = _band_blend(
-            inputs, view, proj, settings, k, band_h=band_h,
+            inputs, view, proj, loop_settings, k, band_h=band_h,
             cam_trans_delta=rho, cam_rot_delta=theta,
         )
         y0 = k * band_h

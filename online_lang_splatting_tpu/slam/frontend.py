@@ -49,10 +49,14 @@ def tracking_run(
     track_inputs = inputs._replace(
         language=jnp.zeros((inputs.language.shape[0], 0), jnp.float32)
     )
+    # Loop renders never read n_touched/n_contrib — skip that kernel
+    # bookkeeping; only the final render (median depth + visibility)
+    # needs it.
+    loop_settings = settings._replace(stats=False)
 
     def loss_fn(rho, theta, ea, eb, view):
         out = render(
-            track_inputs, view, proj, settings,
+            track_inputs, view, proj, loop_settings,
             cam_trans_delta=rho, cam_rot_delta=theta,
         )
         loss = L.loss_tracking_rgbd(

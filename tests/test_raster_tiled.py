@@ -173,6 +173,46 @@ def test_emission_grad_reduce_parity():
         )
 
 
+def test_stats_off_render_parity():
+    """stats=False (tracking-loop renders) must leave every consumed
+    output and all gradients bit-identical, with n_touched/n_contrib
+    coming back zero."""
+    scene = random_scene(n=96, width=64, height=48, seed=13, lang_dim=4)
+    bg = jnp.array([0.1, 0.2, 0.3])
+
+    def loss(settings, means, rho, theta):
+        out = rasterize(
+            means, scene["opacities"], scene["scales"], scene["quats"],
+            shs=scene["shs"], language_features=scene["language_features"],
+            viewmatrix=scene["viewmatrix"], projmatrix=scene["projmatrix"],
+            settings=settings, bg=bg, cam_trans_delta=rho,
+            cam_rot_delta=theta,
+        )
+        return (
+            jnp.abs(out.color).sum() + 1.3 * out.depth.sum()
+            + 0.7 * out.opacity.sum()
+        ), out
+
+    args = (scene["means3d"], jnp.zeros(3), jnp.zeros(3))
+    res = {}
+    for stats in (True, False):
+        st = scene["settings"]._replace(backend="tpu", stats=stats)
+        res[stats] = jax.grad(
+            lambda *a: loss(st, *a), argnums=(0, 1, 2), has_aux=True
+        )(*args)
+    (g_on, out_on), (g_off, out_off) = res[True], res[False]
+    for a, b in zip(g_on, g_off):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for field in ("color", "depth", "opacity", "final_t"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out_on, field)),
+            np.asarray(getattr(out_off, field)),
+        )
+    assert int(np.asarray(out_on.n_touched).sum()) > 0
+    np.testing.assert_array_equal(np.asarray(out_off.n_touched), 0)
+    np.testing.assert_array_equal(np.asarray(out_off.n_contrib), 0)
+
+
 def test_emission_segment_sum_truncated_gaussian_is_zero():
     """Under instance-capacity overflow, a Gaussian whose instances were
     ALL truncated (emit_start >= cap) must get zero grads — not the

@@ -133,7 +133,7 @@ def main():
                 prep.xy, prep.conic, prep.opacity, prep.color, lang,
                 jnp.where(prep.valid, prep.depth, 0.0),
                 b.s_gid, b.s_tile, b.starts, b.cont, b.tile_counts,
-                z0, z0, z0, lim, tile, w, h, "scatter",
+                z0, z0, z0, lim, tile, w, h, "scatter", True,
             )
             return acc.sum() + nt.sum()
 
@@ -145,7 +145,7 @@ def main():
                 acc, _ = T._blend_core(
                     xy, conic, opac_, color, lang_, depth_,
                     b.s_gid, b.s_tile, b.starts, b.cont, b.tile_counts,
-                    z0, z0, z0, lim, tile, w, h, "scatter",
+                    z0, z0, z0, lim, tile, w, h, "scatter", True,
                 )
                 return acc.sum()
             return jax.grad(f, argnums=(0, 1, 2, 3, 4, 5))(
