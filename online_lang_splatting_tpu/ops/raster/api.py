@@ -46,6 +46,9 @@ class RasterSettings(NamedTuple):
     # stats=False skips n_touched/n_contrib kernel bookkeeping (outputs
     # zero) for render loops that never read them (tracking iterations).
     stats: bool = True
+    # Blend-kernel segment strategy ("off" | "on" | "hybrid"); None takes
+    # the OLS_MULTISEG env default (config.MULTISEG).
+    multiseg: str | None = None
 
 
 def grow_bucket(current: int, demand: int, margin: float = 1.25) -> int:
@@ -179,6 +182,7 @@ def _rasterize_highp(
             width=settings.image_width, height=settings.image_height,
             tile=settings.tile, max_instances=settings.max_instances,
             grad_reduce=settings.grad_reduce, stats=settings.stats,
+            multiseg=settings.multiseg,
         )
     return RasterOutput(
         color=out.color,

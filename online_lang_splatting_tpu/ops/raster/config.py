@@ -35,6 +35,26 @@ N_TOUCHED_T = 0.5
 # chunks; the env toggle exists so hardware probes can A/B it.
 PER_TILE_CULL = _os.environ.get("OLS_TILE_CULL", "1") != "0"
 
+# Blend-kernel segment strategy (tiled._fwd_kernel/_bwd_kernel):
+#   "off"    — per-segment full-block processing (baseline): every tile
+#              segment inside a 256-instance chunk pays a full
+#              (CHUNK, pix) alpha chain + transmittance scan. At
+#              production occupancy (~650k instances over ~3.2k tiles)
+#              chunks average ~2.3 segments, so the kernels do ~2.3x the
+#              necessary VPU work.
+#   "on"     — vectorized: per-row tile origins + ONE segmented scan per
+#              chunk process every segment together; the per-segment loop
+#              shrinks to masked matmuls + state updates. (Always-on loses
+#              the single-segment dead-tail skip — use "hybrid".)
+#   "hybrid" — per-chunk lax.cond: single-segment chunks take the baseline
+#              body (with its dead-tail skip), multi-segment chunks the
+#              vectorized body. The production candidate.
+# Default stays "off" until the hardware A/B (tools/hw_queue.sh) replays
+# golden parity and times stage 7 under OLS_MULTISEG=hybrid.
+_ms = _os.environ.get("OLS_MULTISEG", "off")
+MULTISEG = {"0": "off", "1": "on"}.get(_ms, _ms)
+assert MULTISEG in ("off", "on", "hybrid"), MULTISEG
+
 # Per-Gaussian gradient reduction strategy (tiled._blend_bwd):
 #   "scatter"  — one wide-row XLA scatter-add over Gaussian ids (baseline;
 #                ~18 ms at the 1M bucket, rows serialize on id conflicts).

@@ -101,6 +101,24 @@ def _prefix_sum_incl(x: jax.Array) -> jax.Array:
     return _prefix_scan(x, jnp.add, 0.0)
 
 
+def _seg_prefix_scan(x: jax.Array, headf: jax.Array, op, fill: float):
+    """Inclusive SEGMENTED Hillis-Steele scan along axis 0.
+
+    headf: (n, 1) float32, 1.0 marking the first row of each run; the
+    scan combines within runs only. Flags ride as f32 max-scans (Mosaic
+    has no vector bool rolls)."""
+    f = headf
+    n = x.shape[0]
+    s = 1
+    while s < n:
+        xs = _shift_down(x, s, fill)
+        fs = _shift_down(f, s, 1.0)
+        x = jnp.where(f > 0.5, x, op(x, xs))
+        f = jnp.maximum(f, fs)
+        s *= 2
+    return x
+
+
 def _prod_rows(x: jax.Array) -> jax.Array:
     """Product over axis 0 -> (1, cols) via a halving tree: ~2 full-size
     passes of VPU work where a Hillis-Steele scan (whose last row is the
@@ -115,13 +133,27 @@ def _prod_rows(x: jax.Array) -> jax.Array:
 
 
 def _pixel_coords(tile_id, tiles_x: int, tile: int, pix: int):
-    """Per-lane pixel coordinates of this tile; (1, pix) float32."""
+    """Per-lane pixel coordinates; (·, pix) float32.
+
+    tile_id is either a scalar (one tile for the whole block — the
+    per-segment loop path) or a (CHUNK, 1) int32 array of per-ROW tile
+    ids (the vectorized multi-segment path), in which case the returned
+    px/py are (CHUNK, pix) with each row in its own tile's frame."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
+    in_tile = lane < tile * tile
+    if isinstance(tile_id, jax.Array) and tile_id.ndim == 2:
+        # f32 div/floor: exact for tile ids < 2^23 with quotients < 2^13
+        # (int32 div/mod is software-emulated on the VPU).
+        tf = tile_id.astype(jnp.float32)
+        ty = jnp.floor(tf / tiles_x)
+        tx = tf - ty * tiles_x
+        px = tx * tile + (lane % tile).astype(jnp.float32)
+        py = ty * tile + (lane // tile).astype(jnp.float32)
+        return px, py, in_tile
     tx = tile_id % tiles_x
     ty = tile_id // tiles_x
     px = tx * tile + lane % tile
     py = ty * tile + lane // tile
-    in_tile = lane < tile * tile
     return px.astype(jnp.float32), py.astype(jnp.float32), in_tile
 
 
@@ -199,7 +231,7 @@ def _fwd_kernel(
     # scratch
     t_s, done_s, acc_s, stage_s, nt_s, nc_s, meta_s, sem,
     *, tiles_x: int, num_tiles: int, tile: int, pix: int, f_pad: int,
-    f_out: int, width: int, num_chunks: int, stats: bool,
+    f_out: int, width: int, num_chunks: int, stats: bool, multiseg: str,
 ):
     c = pl.program_id(0)
     base = c * CHUNK
@@ -313,9 +345,139 @@ def _fwd_kernel(
                 t < num_tiles, process, lambda: jnp.int32(CHUNK)
             )
 
-        jax.lax.while_loop(
-            lambda j: j < CHUNK, lambda j: body(j), jnp.int32(0)
-        )
+        def run_loop():
+            jax.lax.while_loop(
+                lambda j: j < CHUNK, lambda j: body(j), jnp.int32(0)
+            )
+
+        def run_vec():
+            # Vectorized multi-segment body: per-row tile origins + ONE
+            # segmented transmittance scan handle every segment of the
+            # chunk together; the segment loop shrinks to a masked MXU
+            # matmul + per-tile state updates. Saves the per-segment
+            # full-block alpha chain + scan that the loop body repeats
+            # (~2.3 segments/chunk at production occupancy).
+            tiles_col = tiles.T  # (CHUNK, 1) int32
+            headf = (
+                tiles_col != _shift_down(tiles_col, 1, -1)
+            ).astype(jnp.float32)
+            riota = _row_iota((CHUNK, 1))
+            # Rows of the chunk-opening segment (the only one that can
+            # continue a tile from the previous chunk).
+            in0 = _prefix_scan(
+                jnp.where(riota == 0, 0.0, headf), jnp.maximum, 0.0
+            ) < 0.5
+            cont_in = jnp.logical_and(
+                c > 0, ct_ref[jnp.maximum(c - 1, 0)] == 1
+            )
+            a = _chunk_alpha(geom_ref[...], tiles_col, tiles_x, tile, pix)
+            alpha, skip = a["alpha"], a["skip"]
+            one_minus = 1.0 - alpha
+            x0 = jnp.where(
+                headf > 0.5, 1.0, _shift_down(one_minus, 1, 1.0)
+            )
+            cum_seg = _seg_prefix_scan(x0, headf, jnp.multiply, 1.0)
+            tpm = jnp.logical_and(in0, cont_in)  # (CHUNK, 1)
+            cum_t = jnp.where(tpm, t_s[...], 1.0) * cum_seg
+            test_t = cum_t * one_minus
+            stopped_incl = test_t < C.T_EPS
+            live = ~(tpm & (done_s[...] > 0.5))
+            contrib = (~skip) & (~stopped_incl) & live
+            w = jnp.where(contrib, alpha * cum_t, 0.0)
+            om_c = jnp.where(contrib, one_minus, 1.0)
+            stop = jnp.where((~skip) & stopped_incl, 1.0, 0.0)
+            if stats:
+                pix_ok = (
+                    a["in_tile"] & (a["px"] < width) & (a["py"] < lim)
+                )
+                touched = contrib & (test_t > C.N_TOUCHED_T) & pix_ok
+                nt_s[pl.ds(nt_row, 1), :] += jnp.sum(
+                    touched, axis=1, dtype=jnp.int32
+                ).reshape(1, CHUNK)
+
+            def vseg(j0):
+                t, j1 = _seg_bounds(tiles, lane, j0, num_tiles)
+
+                def process():
+                    t_start = st_ref[t]
+
+                    @pl.when(base + j0 == t_start)
+                    def _():
+                        acc_s[...] = jnp.zeros_like(acc_s)
+                        nc_s[...] = jnp.zeros_like(nc_s)
+
+                    seg_rows = (riota >= j0) & (riota < j1)
+                    acc_s[...] += jax.lax.dot_general(
+                        feat_ref[...], jnp.where(seg_rows, w, 0.0),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    entry_prev = jnp.logical_and(j0 == 0, cont_in)
+                    pr = _prod_rows(jnp.where(seg_rows, om_c, 1.0))
+                    t_s[...] = jnp.where(entry_prev, t_s[...], 1.0) * pr
+                    dm = jnp.max(
+                        jnp.where(seg_rows, stop, 0.0), axis=0,
+                        keepdims=True,
+                    )
+                    done_s[...] = jnp.maximum(
+                        jnp.where(entry_prev, done_s[...], 0.0), dm
+                    )
+                    if stats:
+                        glob = (
+                            riota + 1 + (base - t_start)
+                        ).astype(jnp.float32)
+                        cand = jnp.max(
+                            jnp.where(contrib & seg_rows, glob, 0.0),
+                            axis=0, keepdims=True,
+                        )
+                        nc_s[...] = jnp.maximum(nc_s[...], cand)
+
+                    finished = (j1 < CHUNK) | (ct_ref[c] == 0)
+
+                    @pl.when(finished)
+                    def _():
+                        acc_s[pl.ds(f_out, 1), :] = t_s[...]
+                        if stats:
+                            acc_s[pl.ds(f_out + 1, 1), :] = nc_s[...]
+                        flush_wait()
+                        stage_s[...] = acc_s[...]
+                        pltpu.make_async_copy(
+                            stage_s, acc_ref.at[t], sem
+                        ).start()
+                        meta_s[0] = 1
+                        meta_s[1] = t
+
+                    return j1
+
+                return jax.lax.cond(
+                    t < num_tiles, process, lambda: jnp.int32(CHUNK)
+                )
+
+            jax.lax.while_loop(
+                lambda j: j < CHUNK, lambda j: vseg(j), jnp.int32(0)
+            )
+
+        if multiseg == "off":
+            run_loop()
+        elif multiseg == "on":
+            run_vec()
+        else:  # hybrid: vectorize only genuinely multi-segment chunks —
+            # single-segment chunks keep the loop body's dead-tail skip.
+            # Segment count = in-chunk tile starts + the continuation
+            # segment when the previous chunk's tile flows in.
+            tiles_col = tiles.T
+            heads_real = (
+                (tiles_col != _shift_down(tiles_col, 1, -1))
+                & (tiles_col < num_tiles)
+            ).astype(jnp.float32)
+            nseg = jnp.sum(heads_real) + jnp.where(
+                jnp.logical_and(
+                    c > 0, ct_ref[jnp.maximum(c - 1, 0)] == 1
+                ),
+                1.0, 0.0,
+            )
+            jax.lax.cond(nseg > 1.5, run_vec, run_loop)
 
     @pl.when(nt_row == NT_ROWS - 1)
     def _():
@@ -330,10 +492,16 @@ def _bwd_kernel(
     st_ref, ct_ref, lim_ref,
     geom_ref, feat_ref, tile_ref, gacc_ref, acc_res_ref,
     dgeom_ref, dfeat_ref,
-    t_s, done_s, carry_s, g_s, ar_s, dg_s, df_s, sem,
-    *, tiles_x: int, num_tiles: int, tile: int, pix: int, f_pad: int,
-    f_out: int, width: int, num_chunks: int,
+    *scratch,
+    tiles_x: int, num_tiles: int, tile: int, pix: int, f_pad: int,
+    f_out: int, width: int, num_chunks: int, multiseg: str,
 ):
+    if multiseg == "off":
+        t_s, done_s, carry_s, g_s, ar_s, dg_s, df_s, sem = scratch
+        gd_s = tr_s = None
+    else:
+        (t_s, done_s, carry_s, g_s, ar_s, dg_s, df_s, gd_s, tr_s,
+         sem) = scratch
     c = pl.program_id(0)
     base = c * CHUNK
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
@@ -445,9 +613,170 @@ def _bwd_kernel(
                 t < num_tiles, process, lambda: jnp.int32(CHUNK)
             )
 
-        jax.lax.while_loop(
-            lambda j: j < CHUNK, lambda j: body(j), jnp.int32(0)
-        )
+        def run_loop():
+            jax.lax.while_loop(
+                lambda j: j < CHUNK, lambda j: body(j), jnp.int32(0)
+            )
+
+        def run_vec():
+            # Vectorized multi-segment backward (mirrors the forward's
+            # run_vec): hoist the alpha chain + segmented transmittance
+            # scan out of the segment loop; the loop keeps only the
+            # per-tile DMAs and masked matmuls (gdot / feature grads);
+            # then ONE full-block pass computes every geometry gradient
+            # via a segmented wG prefix sum.
+            tiles_col = tiles.T  # (CHUNK, 1) int32
+            headf = (
+                tiles_col != _shift_down(tiles_col, 1, -1)
+            ).astype(jnp.float32)
+            riota = _row_iota((CHUNK, 1))
+            in0 = _prefix_scan(
+                jnp.where(riota == 0, 0.0, headf), jnp.maximum, 0.0
+            ) < 0.5
+            cont_in = jnp.logical_and(
+                c > 0, ct_ref[jnp.maximum(c - 1, 0)] == 1
+            )
+            a = _chunk_alpha(geom_ref[...], tiles_col, tiles_x, tile, pix)
+            alpha, skip = a["alpha"], a["skip"]
+            one_minus = 1.0 - alpha
+            x0 = jnp.where(
+                headf > 0.5, 1.0, _shift_down(one_minus, 1, 1.0)
+            )
+            cum_seg = _seg_prefix_scan(x0, headf, jnp.multiply, 1.0)
+            tpm = jnp.logical_and(in0, cont_in)
+            cum_t = jnp.where(tpm, t_s[...], 1.0) * cum_seg
+            test_t = cum_t * one_minus
+            stopped_incl = test_t < C.T_EPS
+            live = ~(tpm & (done_s[...] > 0.5))
+            contrib = (~skip) & (~stopped_incl) & live
+            w = jnp.where(contrib, alpha * cum_t, 0.0)
+            om_c = jnp.where(contrib, one_minus, 1.0)
+            stop = jnp.where((~skip) & stopped_incl, 1.0, 0.0)
+
+            gd_s[...] = jnp.zeros_like(gd_s)
+            tr_s[...] = jnp.zeros_like(tr_s)
+
+            def vseg(j0):
+                t, j1 = _seg_bounds(tiles, lane, j0, num_tiles)
+
+                def process():
+                    t_start = st_ref[t]
+
+                    @pl.when(base + j0 == t_start)
+                    def _():
+                        cp_g = pltpu.make_async_copy(
+                            gacc_ref.at[t], g_s, sem
+                        )
+                        cp_a = pltpu.make_async_copy(
+                            acc_res_ref.at[t], ar_s, sem
+                        )
+                        cp_g.start()
+                        cp_a.start()
+                        cp_g.wait()
+                        cp_a.wait()
+                        carry_s[...] = jnp.sum(
+                            g_s[...] * ar_s[...], axis=0, keepdims=True
+                        )
+
+                    seg_rows = (riota >= j0) & (riota < j1)
+                    # This tile's ENTRY carry rides to its rows for the
+                    # full-block suffix phase.
+                    tr_s[...] += (
+                        seg_rows.astype(jnp.float32) * carry_s[...]
+                    )
+                    lane_m = (
+                        (lane >= j0) & (lane < j1)
+                    ).astype(jnp.float32)
+                    gd_s[...] += jax.lax.dot_general(
+                        feat_ref[...] * lane_m, g_s[...],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    df_s[...] += jax.lax.dot_general(
+                        g_s[...], jnp.where(seg_rows, w, 0.0),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    entry_prev = jnp.logical_and(j0 == 0, cont_in)
+                    pr = _prod_rows(jnp.where(seg_rows, om_c, 1.0))
+                    t_s[...] = jnp.where(entry_prev, t_s[...], 1.0) * pr
+                    dm = jnp.max(
+                        jnp.where(seg_rows, stop, 0.0), axis=0,
+                        keepdims=True,
+                    )
+                    done_s[...] = jnp.maximum(
+                        jnp.where(entry_prev, done_s[...], 0.0), dm
+                    )
+                    return j1
+
+                return jax.lax.cond(
+                    t < num_tiles, process, lambda: jnp.int32(CHUNK)
+                )
+
+            jax.lax.while_loop(
+                lambda j: j < CHUNK, lambda j: vseg(j), jnp.int32(0)
+            )
+
+            # Full-block gradient phase: one pass for all segments.
+            gdot = gd_s[...]
+            tr = tr_s[...]
+            wg = w * gdot
+            prefix_incl = _seg_prefix_scan(wg, headf, jnp.add, 0.0)
+            suffix = tr - prefix_incl
+            dalpha = jnp.where(
+                contrib, cum_t * gdot - suffix / one_minus, 0.0
+            )
+            not_clamped = a["alpha_raw"] < C.ALPHA_MAX
+            gt = geom_ref[...].T
+            de = jnp.where(not_clamped, dalpha * a["expp"], 0.0)
+            dop = jnp.sum(de, axis=1)
+            dpower = de * gt[:, 5:6]
+            dx, dy = a["dx"], a["dy"]
+            ca, cb, cc = gt[:, 2:3], gt[:, 3:4], gt[:, 4:5]
+            ddx = dpower * dx
+            ddy = dpower * dy
+            sx = jnp.sum(ddx, axis=1)
+            sy = jnp.sum(ddy, axis=1)
+            dca = -0.5 * jnp.sum(ddx * dx, axis=1)
+            dcb = -jnp.sum(ddx * dy, axis=1)
+            dcc = -0.5 * jnp.sum(ddy * dy, axis=1)
+            dxg = -(ca[:, 0] * sx + cb[:, 0] * sy)
+            dyg = -(cc[:, 0] * sy + cb[:, 0] * sx)
+            zeros = jnp.zeros_like(dop)
+            dg_s[...] += jnp.stack(
+                [dxg, dyg, dca, dcb, dcc, dop, zeros, zeros], axis=0
+            )
+            # Carry for a continuing last tile: its entry total minus its
+            # in-chunk inclusive wG (other tiles' rows reset the scan).
+            # Garbage when the chunk ends in padding — the next chunk
+            # then starts a fresh tile and never reads it.
+            carry_s[...] = (
+                tr[CHUNK - 1 : CHUNK, :]
+                - prefix_incl[CHUNK - 1 : CHUNK, :]
+            )
+
+        if multiseg == "off":
+            run_loop()
+        elif multiseg == "on":
+            run_vec()
+        else:  # hybrid: vectorize only genuinely multi-segment chunks —
+            # single-segment chunks keep the loop body's dead-tail skip.
+            # Segment count = in-chunk tile starts + the continuation
+            # segment when the previous chunk's tile flows in.
+            tiles_col = tiles.T
+            heads_real = (
+                (tiles_col != _shift_down(tiles_col, 1, -1))
+                & (tiles_col < num_tiles)
+            ).astype(jnp.float32)
+            nseg = jnp.sum(heads_real) + jnp.where(
+                jnp.logical_and(
+                    c > 0, ct_ref[jnp.maximum(c - 1, 0)] == 1
+                ),
+                1.0, 0.0,
+            )
+            jax.lax.cond(nseg > 1.5, run_vec, run_loop)
 
     dgeom_ref[...] = dg_s[...]
     dfeat_ref[...] = df_s[...]
@@ -492,14 +821,17 @@ def _pack_instances(xy, conic, opacity, color, lang, depth, point_list):
     return geom, feat, f_pad, f_out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20)
+)
 def _blend_core(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
                 starts, cont, tile_counts, s_emit, emit_start, emit_count,
-                py_limit, tile, width, height, grad_reduce, stats):
+                py_limit, tile, width, height, grad_reduce, stats,
+                multiseg):
     out, _ = _blend_fwd_impl(
         xy, conic, opacity, color, lang, depth, s_gid, s_tile,
         starts, cont, tile_counts, s_emit, emit_start, emit_count,
-        py_limit, tile, width, height, grad_reduce, stats
+        py_limit, tile, width, height, grad_reduce, stats, multiseg
     )
     return out
 
@@ -507,7 +839,7 @@ def _blend_core(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
 def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
                     starts, cont, tile_counts, s_emit, emit_start,
                     emit_count, py_limit, tile, width, height, grad_reduce,
-                    stats):
+                    stats, multiseg):
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
     num_tiles = tiles_x * tiles_y
@@ -523,7 +855,7 @@ def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
     kern = functools.partial(
         _fwd_kernel, tiles_x=tiles_x, num_tiles=num_tiles, tile=tile,
         pix=pix, f_pad=f_pad, f_out=f_out, width=width,
-        num_chunks=num_chunks, stats=stats,
+        num_chunks=num_chunks, stats=stats, multiseg=multiseg,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -583,16 +915,17 @@ def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
 
 def _blend_fwd(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
                starts, cont, tile_counts, s_emit, emit_start, emit_count,
-               py_limit, tile, width, height, grad_reduce, stats):
+               py_limit, tile, width, height, grad_reduce, stats,
+               multiseg):
     return _blend_fwd_impl(
         xy, conic, opacity, color, lang, depth, s_gid, s_tile,
         starts, cont, tile_counts, s_emit, emit_start, emit_count,
-        py_limit, tile, width, height, grad_reduce, stats
+        py_limit, tile, width, height, grad_reduce, stats, multiseg
     )
 
 
-def _blend_bwd(tile, width, height, grad_reduce, stats, residuals,
-               cotangents):
+def _blend_bwd(tile, width, height, grad_reduce, stats, multiseg,
+               residuals, cotangents):
     (xy, conic, opacity, color, lang, depth, acc_res,
      s_gid, s_tile, starts, cont, tile_counts,
      s_emit, emit_start, emit_count, py_limit) = residuals
@@ -613,7 +946,14 @@ def _blend_bwd(tile, width, height, grad_reduce, stats, residuals,
     kern = functools.partial(
         _bwd_kernel, tiles_x=tiles_x, num_tiles=num_tiles, tile=tile,
         pix=pix, f_pad=f_pad, f_out=f_out, width=width,
-        num_chunks=num_chunks,
+        num_chunks=num_chunks, multiseg=multiseg,
+    )
+    # The vectorized multi-segment path needs two full-chunk scratch
+    # blocks: the accumulated gdot and the per-row entry carries.
+    ms_scratch = (
+        [] if multiseg == "off"
+        else [pltpu.VMEM((CHUNK, pix), jnp.float32),
+              pltpu.VMEM((CHUNK, pix), jnp.float32)]
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -643,6 +983,7 @@ def _blend_bwd(tile, width, height, grad_reduce, stats, residuals,
             pltpu.VMEM((f_pad, pix), jnp.float32),
             pltpu.VMEM((GEOM_ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((f_pad, CHUNK), jnp.float32),
+            *ms_scratch,
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -745,6 +1086,7 @@ def blend_tiled(
     py_limit: jax.Array | None = None,
     grad_reduce: str | None = None,
     stats: bool = True,
+    multiseg: str | None = None,
 ):
     """Full tiled pipeline: bin → Pallas blend → image assembly.
 
@@ -755,13 +1097,18 @@ def blend_tiled(
     the OLS_GRAD_REDUCE env default (config.GRAD_REDUCE). With
     `stats=False` the kernel skips n_touched/n_contrib bookkeeping
     (those outputs come back zero) — for render loops that never read
-    them, e.g. tracking iterations.
+    them, e.g. tracking iterations. `multiseg` picks the kernels'
+    segment strategy ("off" | "on" | "hybrid", see config.MULTISEG);
+    None takes the OLS_MULTISEG env default.
     """
     from .oracle import BlendOutput
 
     if grad_reduce is None:
         grad_reduce = C.GRAD_REDUCE
     assert grad_reduce in ("scatter", "emission"), grad_reduce
+    if multiseg is None:
+        multiseg = C.MULTISEG
+    assert multiseg in ("off", "on", "hybrid"), multiseg
     p = prep.xy.shape[0]
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
@@ -801,7 +1148,7 @@ def blend_tiled(
         jnp.where(prep.valid, prep.depth, 0.0),
         binning.s_gid, binning.s_tile, binning.starts, binning.cont,
         binning.tile_counts, s_emit, emit_start, emit_count, py_limit,
-        tile, width, height, grad_reduce, stats,
+        tile, width, height, grad_reduce, stats, multiseg,
     )
 
     # n_touched: per-chunk rows -> per-instance -> per-Gaussian.

@@ -47,7 +47,25 @@ OLS_CHUNK_TIMING=1 step 06_chunk_timing 3600 \
 step 07_gate40_cold 5400 python tools/replica_scale_gate.py --max-frames 40
 step 08_gate40_warm 5400 python tools/replica_scale_gate.py --max-frames 40
 
-# 7. Headline bench (was 54.75 FPS).
+# 7. Vectorized multi-segment blend kernels (OLS_MULTISEG): golden
+#    parity, then stage-7 A/B vs the baseline numbers from steps 02/03.
+#    (The probe scene averages 2.15 segments/chunk — 100% of chunks are
+#    multi-segment — so the hybrid path should cut both kernels' VPU
+#    time substantially; production scenes average ~3.)
+OLS_MULTISEG=hybrid step 10_parity_multiseg 2400 \
+  python tools/tpu_raster_parity.py
+OLS_MULTISEG=hybrid step 11_stage7_multiseg 2400 \
+  python tools/tpu_scale_check.py --stage 7
+OLS_MULTISEG=hybrid OLS_GRAD_REDUCE=emission step 12_stage7_ms_emission \
+  2400 python tools/tpu_scale_check.py --stage 7
+#    Production-occupancy regime (~540k demand in the 1M bucket,
+#    ~3.15 segments/chunk): baseline vs hybrid.
+step 13_stage7_n15k_base 2400 \
+  python tools/tpu_scale_check.py --stage 7 --n 15000
+OLS_MULTISEG=hybrid step 14_stage7_n15k_ms 2400 \
+  python tools/tpu_scale_check.py --stage 7 --n 15000
+
+# 8. Headline bench (was 54.75 FPS).
 step 09_bench 1800 python bench.py
 
 echo "=== queue done ($(date -u +%FT%TZ)); logs in $LOG ==="

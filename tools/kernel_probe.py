@@ -134,6 +134,7 @@ def main():
                 jnp.where(prep.valid, prep.depth, 0.0),
                 b.s_gid, b.s_tile, b.starts, b.cont, b.tile_counts,
                 z0, z0, z0, lim, tile, w, h, "scatter", True,
+                T.C.MULTISEG,
             )
             return acc.sum() + nt.sum()
 
@@ -146,6 +147,7 @@ def main():
                     xy, conic, opac_, color, lang_, depth_,
                     b.s_gid, b.s_tile, b.starts, b.cont, b.tile_counts,
                     z0, z0, z0, lim, tile, w, h, "scatter", True,
+                    T.C.MULTISEG,
                 )
                 return acc.sum()
             return jax.grad(f, argnums=(0, 1, 2, 3, 4, 5))(
