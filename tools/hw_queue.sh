@@ -64,8 +64,19 @@ step 13_stage7_n15k_base 2400 \
   python tools/tpu_scale_check.py --stage 7 --n 15000
 OLS_MULTISEG=hybrid step 14_stage7_n15k_ms 2400 \
   python tools/tpu_scale_check.py --stage 7 --n 15000
+#    CHUNK=512 was a round-2 negative with the loop kernels (padding +
+#    per-segment VPU working set outgrew the win); the vectorized path
+#    pays ~one full-block pass per chunk regardless of segment count,
+#    so halving the chunk COUNT may now win. Re-test under hybrid.
+OLS_MULTISEG=hybrid OLS_BLEND_CHUNK=512 step 15_stage7_ms_c512 2400 \
+  python tools/tpu_scale_check.py --stage 7
 
-# 8. Headline bench (was 54.75 FPS).
+# 8. Best-combo 40-frame gate (only meaningful if steps 10-15 look good;
+#    quality gates inside catch any parity drift at scale).
+OLS_MULTISEG=hybrid OLS_GRAD_REDUCE=emission step 16_gate40_best 5400 \
+  python tools/replica_scale_gate.py --max-frames 40
+
+# 9. Headline bench (was 54.75 FPS).
 step 09_bench 1800 python bench.py
 
 echo "=== queue done ($(date -u +%FT%TZ)); logs in $LOG ==="
