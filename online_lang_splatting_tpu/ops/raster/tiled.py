@@ -101,18 +101,22 @@ def _prefix_sum_incl(x: jax.Array) -> jax.Array:
     return _prefix_scan(x, jnp.add, 0.0)
 
 
-def _seg_prefix_scan(x: jax.Array, headf: jax.Array, op, fill: float):
+def _seg_prefix_scan(x: jax.Array, headf: jax.Array, op):
     """Inclusive SEGMENTED Hillis-Steele scan along axis 0.
 
-    headf: (n, 1) float32, 1.0 marking the first row of each run; the
-    scan combines within runs only. Flags ride as f32 max-scans (Mosaic
-    has no vector bool rolls)."""
+    headf: (n, 1) float32, 1.0 marking the first row of each run.
+    PRECONDITION: headf[0] == 1 (row 0 starts a run — always true for
+    tile segments). That makes both wrap-fills unnecessary: after k
+    steps f_i = "any head in (i-2^k, i]", so every wrapped row i < 2^k
+    has f_i = 1 (its window contains row 0) and the select discards the
+    wrapped operand — bare rolls, no iota masks. Flags ride as f32
+    max-scans (Mosaic has no vector bool rolls)."""
     f = headf
     n = x.shape[0]
     s = 1
     while s < n:
-        xs = _shift_down(x, s, fill)
-        fs = _shift_down(f, s, 1.0)
+        xs = pltpu.roll(x, s, axis=0)
+        fs = pltpu.roll(f, s, axis=0)
         x = jnp.where(f > 0.5, x, op(x, xs))
         f = jnp.maximum(f, fs)
         s *= 2
@@ -373,10 +377,12 @@ def _fwd_kernel(
             a = _chunk_alpha(geom_ref[...], tiles_col, tiles_x, tile, pix)
             alpha, skip = a["alpha"], a["skip"]
             one_minus = 1.0 - alpha
+            # Row 0 is a head, so the roll's wrapped row is discarded
+            # by the select — no fill mask needed.
             x0 = jnp.where(
-                headf > 0.5, 1.0, _shift_down(one_minus, 1, 1.0)
+                headf > 0.5, 1.0, pltpu.roll(one_minus, 1, axis=0)
             )
-            cum_seg = _seg_prefix_scan(x0, headf, jnp.multiply, 1.0)
+            cum_seg = _seg_prefix_scan(x0, headf, jnp.multiply)
             tpm = jnp.logical_and(in0, cont_in)  # (CHUNK, 1)
             cum_t = jnp.where(tpm, t_s[...], 1.0) * cum_seg
             test_t = cum_t * one_minus
@@ -639,10 +645,12 @@ def _bwd_kernel(
             a = _chunk_alpha(geom_ref[...], tiles_col, tiles_x, tile, pix)
             alpha, skip = a["alpha"], a["skip"]
             one_minus = 1.0 - alpha
+            # Row 0 is a head, so the roll's wrapped row is discarded
+            # by the select — no fill mask needed.
             x0 = jnp.where(
-                headf > 0.5, 1.0, _shift_down(one_minus, 1, 1.0)
+                headf > 0.5, 1.0, pltpu.roll(one_minus, 1, axis=0)
             )
-            cum_seg = _seg_prefix_scan(x0, headf, jnp.multiply, 1.0)
+            cum_seg = _seg_prefix_scan(x0, headf, jnp.multiply)
             tpm = jnp.logical_and(in0, cont_in)
             cum_t = jnp.where(tpm, t_s[...], 1.0) * cum_seg
             test_t = cum_t * one_minus
@@ -723,7 +731,7 @@ def _bwd_kernel(
             gdot = gd_s[...]
             tr = tr_s[...]
             wg = w * gdot
-            prefix_incl = _seg_prefix_scan(wg, headf, jnp.add, 0.0)
+            prefix_incl = _seg_prefix_scan(wg, headf, jnp.add)
             suffix = tr - prefix_incl
             dalpha = jnp.where(
                 contrib, cum_t * gdot - suffix / one_minus, 0.0
