@@ -215,6 +215,89 @@ def _composite(alpha, skip, t_prev, done_prev):
     return cum_t, test_t, contrib, w, t_new, done_new
 
 
+def _cont_in(c, ct_ref):
+    """Does the previous chunk's last tile continue into chunk c?
+    (Scalar; derived from the binning's cont flags — chunk c's first
+    segment is a continuation iff cont[c-1] == 1.)"""
+    return jnp.logical_and(c > 0, ct_ref[jnp.maximum(c - 1, 0)] == 1)
+
+
+def _vec_chunk_state(geom, tiles, t_prev, done_prev, cont_in,
+                     tiles_x: int, tile: int, pix: int):
+    """Hoisted full-block state for the vectorized multi-segment body
+    (shared by the fwd and bwd kernels): per-row tile origins, ONE
+    segmented transmittance scan for every segment of the chunk, and the
+    contribution masks. t_prev/done_prev ((1, pix)) apply only to rows
+    of the chunk-opening segment and only when cont_in — at grid step 0
+    they are uninitialized scratch, consumed exclusively through selects
+    whose predicate is then all-false."""
+    tiles_col = tiles.T  # (CHUNK, 1) int32
+    headf = (
+        tiles_col != _shift_down(tiles_col, 1, -1)
+    ).astype(jnp.float32)
+    riota = _row_iota((CHUNK, 1))
+    # Rows of the chunk-opening segment (the only one that can continue
+    # a tile from the previous chunk).
+    in0 = _prefix_scan(
+        jnp.where(riota == 0, 0.0, headf), jnp.maximum, 0.0
+    ) < 0.5
+    a = _chunk_alpha(geom, tiles_col, tiles_x, tile, pix)
+    alpha, skip = a["alpha"], a["skip"]
+    one_minus = 1.0 - alpha
+    # Row 0 is a head, so the roll's wrapped row is discarded by the
+    # select — no fill mask needed.
+    x0 = jnp.where(headf > 0.5, 1.0, pltpu.roll(one_minus, 1, axis=0))
+    cum_seg = _seg_prefix_scan(x0, headf, jnp.multiply)
+    tpm = jnp.logical_and(in0, cont_in)  # (CHUNK, 1)
+    cum_t = jnp.where(tpm, t_prev, 1.0) * cum_seg
+    test_t = cum_t * one_minus
+    stopped_incl = test_t < C.T_EPS
+    live = ~(tpm & (done_prev > 0.5))
+    contrib = (~skip) & (~stopped_incl) & live
+    return dict(
+        headf=headf, riota=riota, a=a, one_minus=one_minus,
+        cum_t=cum_t, test_t=test_t, contrib=contrib,
+        w=jnp.where(contrib, alpha * cum_t, 0.0),
+        om_c=jnp.where(contrib, one_minus, 1.0),
+        stop=jnp.where((~skip) & stopped_incl, 1.0, 0.0),
+    )
+
+
+def _vec_tile_state_update(t_s, done_s, seg_rows, om_c, stop, entry_prev):
+    """Per-segment T/done carry update (vectorized bodies): the tile's
+    entry state is the carried scratch only for a continuing chunk-
+    opening segment; fresh tiles start at (T=1, done=0)."""
+    pr = _prod_rows(jnp.where(seg_rows, om_c, 1.0))
+    t_s[...] = jnp.where(entry_prev, t_s[...], 1.0) * pr
+    dm = jnp.max(jnp.where(seg_rows, stop, 0.0), axis=0, keepdims=True)
+    done_s[...] = jnp.maximum(
+        jnp.where(entry_prev, done_s[...], 0.0), dm
+    )
+
+
+def _dispatch_multiseg(multiseg: str, run_loop, run_vec, tiles, c,
+                       ct_ref, num_tiles: int):
+    """Select the chunk-processing body for one grid step. "hybrid"
+    vectorizes only genuinely multi-segment chunks — single-segment
+    chunks keep the loop body's dead-tail skip. Segment count =
+    in-chunk tile starts + the continuation segment when the previous
+    chunk's tile flows in."""
+    if multiseg == "off":
+        run_loop()
+    elif multiseg == "on":
+        run_vec()
+    else:
+        tiles_col = tiles.T
+        heads_real = (
+            (tiles_col != _shift_down(tiles_col, 1, -1))
+            & (tiles_col < num_tiles)
+        ).astype(jnp.float32)
+        nseg = jnp.sum(heads_real) + jnp.where(
+            _cont_in(c, ct_ref), 1.0, 0.0
+        )
+        jax.lax.cond(nseg > 1.5, run_vec, run_loop)
+
+
 def _seg_bounds(tiles, lane, j0, num_tiles: int):
     """Find the segment [j0, j1) and its tile at row j0. tiles/lane are
     (1, CHUNK) i32. Returns (t, j1) scalars; t == num_tiles when no real
@@ -360,43 +443,21 @@ def _fwd_kernel(
             # chunk together; the segment loop shrinks to a masked MXU
             # matmul + per-tile state updates. Saves the per-segment
             # full-block alpha chain + scan that the loop body repeats
-            # (~2.3 segments/chunk at production occupancy).
-            tiles_col = tiles.T  # (CHUNK, 1) int32
-            headf = (
-                tiles_col != _shift_down(tiles_col, 1, -1)
-            ).astype(jnp.float32)
-            riota = _row_iota((CHUNK, 1))
-            # Rows of the chunk-opening segment (the only one that can
-            # continue a tile from the previous chunk).
-            in0 = _prefix_scan(
-                jnp.where(riota == 0, 0.0, headf), jnp.maximum, 0.0
-            ) < 0.5
-            cont_in = jnp.logical_and(
-                c > 0, ct_ref[jnp.maximum(c - 1, 0)] == 1
+            # (2.15-3.15 segments/chunk on production-shaped scenes).
+            cont_in = _cont_in(c, ct_ref)
+            v = _vec_chunk_state(
+                geom_ref[...], tiles, t_s[...], done_s[...], cont_in,
+                tiles_x, tile, pix,
             )
-            a = _chunk_alpha(geom_ref[...], tiles_col, tiles_x, tile, pix)
-            alpha, skip = a["alpha"], a["skip"]
-            one_minus = 1.0 - alpha
-            # Row 0 is a head, so the roll's wrapped row is discarded
-            # by the select — no fill mask needed.
-            x0 = jnp.where(
-                headf > 0.5, 1.0, pltpu.roll(one_minus, 1, axis=0)
-            )
-            cum_seg = _seg_prefix_scan(x0, headf, jnp.multiply)
-            tpm = jnp.logical_and(in0, cont_in)  # (CHUNK, 1)
-            cum_t = jnp.where(tpm, t_s[...], 1.0) * cum_seg
-            test_t = cum_t * one_minus
-            stopped_incl = test_t < C.T_EPS
-            live = ~(tpm & (done_s[...] > 0.5))
-            contrib = (~skip) & (~stopped_incl) & live
-            w = jnp.where(contrib, alpha * cum_t, 0.0)
-            om_c = jnp.where(contrib, one_minus, 1.0)
-            stop = jnp.where((~skip) & stopped_incl, 1.0, 0.0)
+            riota, contrib, w = v["riota"], v["contrib"], v["w"]
             if stats:
+                a = v["a"]
                 pix_ok = (
                     a["in_tile"] & (a["px"] < width) & (a["py"] < lim)
                 )
-                touched = contrib & (test_t > C.N_TOUCHED_T) & pix_ok
+                touched = (
+                    contrib & (v["test_t"] > C.N_TOUCHED_T) & pix_ok
+                )
                 nt_s[pl.ds(nt_row, 1), :] += jnp.sum(
                     touched, axis=1, dtype=jnp.int32
                 ).reshape(1, CHUNK)
@@ -419,15 +480,9 @@ def _fwd_kernel(
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
                     )
-                    entry_prev = jnp.logical_and(j0 == 0, cont_in)
-                    pr = _prod_rows(jnp.where(seg_rows, om_c, 1.0))
-                    t_s[...] = jnp.where(entry_prev, t_s[...], 1.0) * pr
-                    dm = jnp.max(
-                        jnp.where(seg_rows, stop, 0.0), axis=0,
-                        keepdims=True,
-                    )
-                    done_s[...] = jnp.maximum(
-                        jnp.where(entry_prev, done_s[...], 0.0), dm
+                    _vec_tile_state_update(
+                        t_s, done_s, seg_rows, v["om_c"], v["stop"],
+                        jnp.logical_and(j0 == 0, cont_in),
                     )
                     if stats:
                         glob = (
@@ -464,26 +519,9 @@ def _fwd_kernel(
                 lambda j: j < CHUNK, lambda j: vseg(j), jnp.int32(0)
             )
 
-        if multiseg == "off":
-            run_loop()
-        elif multiseg == "on":
-            run_vec()
-        else:  # hybrid: vectorize only genuinely multi-segment chunks —
-            # single-segment chunks keep the loop body's dead-tail skip.
-            # Segment count = in-chunk tile starts + the continuation
-            # segment when the previous chunk's tile flows in.
-            tiles_col = tiles.T
-            heads_real = (
-                (tiles_col != _shift_down(tiles_col, 1, -1))
-                & (tiles_col < num_tiles)
-            ).astype(jnp.float32)
-            nseg = jnp.sum(heads_real) + jnp.where(
-                jnp.logical_and(
-                    c > 0, ct_ref[jnp.maximum(c - 1, 0)] == 1
-                ),
-                1.0, 0.0,
-            )
-            jax.lax.cond(nseg > 1.5, run_vec, run_loop)
+        _dispatch_multiseg(
+            multiseg, run_loop, run_vec, tiles, c, ct_ref, num_tiles
+        )
 
     @pl.when(nt_row == NT_ROWS - 1)
     def _():
@@ -631,35 +669,13 @@ def _bwd_kernel(
             # per-tile DMAs and masked matmuls (gdot / feature grads);
             # then ONE full-block pass computes every geometry gradient
             # via a segmented wG prefix sum.
-            tiles_col = tiles.T  # (CHUNK, 1) int32
-            headf = (
-                tiles_col != _shift_down(tiles_col, 1, -1)
-            ).astype(jnp.float32)
-            riota = _row_iota((CHUNK, 1))
-            in0 = _prefix_scan(
-                jnp.where(riota == 0, 0.0, headf), jnp.maximum, 0.0
-            ) < 0.5
-            cont_in = jnp.logical_and(
-                c > 0, ct_ref[jnp.maximum(c - 1, 0)] == 1
+            cont_in = _cont_in(c, ct_ref)
+            v = _vec_chunk_state(
+                geom_ref[...], tiles, t_s[...], done_s[...], cont_in,
+                tiles_x, tile, pix,
             )
-            a = _chunk_alpha(geom_ref[...], tiles_col, tiles_x, tile, pix)
-            alpha, skip = a["alpha"], a["skip"]
-            one_minus = 1.0 - alpha
-            # Row 0 is a head, so the roll's wrapped row is discarded
-            # by the select — no fill mask needed.
-            x0 = jnp.where(
-                headf > 0.5, 1.0, pltpu.roll(one_minus, 1, axis=0)
-            )
-            cum_seg = _seg_prefix_scan(x0, headf, jnp.multiply)
-            tpm = jnp.logical_and(in0, cont_in)
-            cum_t = jnp.where(tpm, t_s[...], 1.0) * cum_seg
-            test_t = cum_t * one_minus
-            stopped_incl = test_t < C.T_EPS
-            live = ~(tpm & (done_s[...] > 0.5))
-            contrib = (~skip) & (~stopped_incl) & live
-            w = jnp.where(contrib, alpha * cum_t, 0.0)
-            om_c = jnp.where(contrib, one_minus, 1.0)
-            stop = jnp.where((~skip) & stopped_incl, 1.0, 0.0)
+            riota, contrib, w = v["riota"], v["contrib"], v["w"]
+            a, cum_t, one_minus = v["a"], v["cum_t"], v["one_minus"]
 
             gd_s[...] = jnp.zeros_like(gd_s)
             tr_s[...] = jnp.zeros_like(tr_s)
@@ -707,15 +723,9 @@ def _bwd_kernel(
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST,
                     )
-                    entry_prev = jnp.logical_and(j0 == 0, cont_in)
-                    pr = _prod_rows(jnp.where(seg_rows, om_c, 1.0))
-                    t_s[...] = jnp.where(entry_prev, t_s[...], 1.0) * pr
-                    dm = jnp.max(
-                        jnp.where(seg_rows, stop, 0.0), axis=0,
-                        keepdims=True,
-                    )
-                    done_s[...] = jnp.maximum(
-                        jnp.where(entry_prev, done_s[...], 0.0), dm
+                    _vec_tile_state_update(
+                        t_s, done_s, seg_rows, v["om_c"], v["stop"],
+                        jnp.logical_and(j0 == 0, cont_in),
                     )
                     return j1
 
@@ -731,7 +741,7 @@ def _bwd_kernel(
             gdot = gd_s[...]
             tr = tr_s[...]
             wg = w * gdot
-            prefix_incl = _seg_prefix_scan(wg, headf, jnp.add)
+            prefix_incl = _seg_prefix_scan(wg, v["headf"], jnp.add)
             suffix = tr - prefix_incl
             dalpha = jnp.where(
                 contrib, cum_t * gdot - suffix / one_minus, 0.0
@@ -765,26 +775,9 @@ def _bwd_kernel(
                 - prefix_incl[CHUNK - 1 : CHUNK, :]
             )
 
-        if multiseg == "off":
-            run_loop()
-        elif multiseg == "on":
-            run_vec()
-        else:  # hybrid: vectorize only genuinely multi-segment chunks —
-            # single-segment chunks keep the loop body's dead-tail skip.
-            # Segment count = in-chunk tile starts + the continuation
-            # segment when the previous chunk's tile flows in.
-            tiles_col = tiles.T
-            heads_real = (
-                (tiles_col != _shift_down(tiles_col, 1, -1))
-                & (tiles_col < num_tiles)
-            ).astype(jnp.float32)
-            nseg = jnp.sum(heads_real) + jnp.where(
-                jnp.logical_and(
-                    c > 0, ct_ref[jnp.maximum(c - 1, 0)] == 1
-                ),
-                1.0, 0.0,
-            )
-            jax.lax.cond(nseg > 1.5, run_vec, run_loop)
+        _dispatch_multiseg(
+            multiseg, run_loop, run_vec, tiles, c, ct_ref, num_tiles
+        )
 
     dgeom_ref[...] = dg_s[...]
     dfeat_ref[...] = df_s[...]

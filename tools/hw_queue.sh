@@ -52,6 +52,33 @@ step 08_gate40_warm 5400 python tools/replica_scale_gate.py --max-frames 40
 #    (The probe scene averages 2.15 segments/chunk — 100% of chunks are
 #    multi-segment — so the hybrid path should cut both kernels' VPU
 #    time substantially; production scenes average ~3.)
+#    Fast Mosaic-lowering smoke for the new vectorized ops (int
+#    transpose, flag rolls, per-chunk cond between two big bodies):
+#    tiny scene, small compile — isolates a lowering failure in minutes
+#    before the heavy steps run.
+step 10a_ms_smoke 900 python - <<'EOF'
+import jax, jax.numpy as jnp, numpy as np, sys
+sys.path.insert(0, "tests")
+from helpers import random_scene
+from online_lang_splatting_tpu.ops.raster import rasterize
+for mode in ("on", "hybrid"):
+    scene = random_scene(n=200, width=96, height=64, seed=9,
+                         scale_range=(0.01, 0.1))
+    st = scene["settings"]._replace(backend="tpu", multiseg=mode)
+    def loss(means):
+        out = rasterize(
+            means, scene["opacities"], scene["scales"], scene["quats"],
+            shs=scene["shs"],
+            language_features=scene["language_features"],
+            viewmatrix=scene["viewmatrix"],
+            projmatrix=scene["projmatrix"], settings=st,
+            bg=jnp.zeros(3))
+        return out.color.sum() + out.depth.sum()
+    v, g = jax.jit(jax.value_and_grad(loss))(scene["means3d"])
+    assert np.isfinite(float(v)) and np.isfinite(np.asarray(g)).all()
+    print(mode, "ok", float(v), flush=True)
+EOF
+
 OLS_MULTISEG=hybrid step 10_parity_multiseg 2400 \
   python tools/tpu_raster_parity.py
 OLS_MULTISEG=hybrid step 11_stage7_multiseg 2400 \
