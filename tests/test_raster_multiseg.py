@@ -152,6 +152,31 @@ def test_stats_off_parity(mode):
     np.testing.assert_array_equal(np.asarray(off.n_contrib), 0)
 
 
+@pytest.mark.parametrize("mode", MODES)
+def test_overflow_truncation_parity(mode):
+    """Under instance-capacity overflow the truncated chunk sequence can
+    end mid-tile; the vectorized path must reproduce the baseline's
+    truncated render exactly."""
+    scene = random_scene(
+        n=900, width=64, height=48, seed=31, scale_range=(0.08, 0.3)
+    )
+    base = _render(scene, multiseg="off", max_instances=2048)
+    assert bool(base.overflow)
+    got = _render(scene, multiseg=mode, max_instances=2048)
+    assert bool(got.overflow)
+    for f in FLOAT_FIELDS:
+        b = np.asarray(getattr(base, f))
+        g = np.asarray(getattr(got, f))
+        scale = max(float(np.abs(b).max()), 1.0)
+        np.testing.assert_allclose(g / scale, b / scale, atol=2e-6,
+                                   err_msg=f"{f} ({mode})")
+    for f in INT_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(base, f)),
+            err_msg=f"{f} ({mode})",
+        )
+
+
 @pytest.mark.parametrize("name", sorted(SCENES))
 def test_goldens_hybrid(name):
     """The hybrid path must hit the same pinned goldens as the baseline
