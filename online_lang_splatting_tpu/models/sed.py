@@ -78,6 +78,15 @@ class LangFeatureExtractor:
             )
         if ae_variables is None:
             ae_variables = self.ae.init(k3, jnp.zeros((1, 768), dtype))
+        if self.compute_dtype != dtype:
+            # Cast the conv-tower weights ONCE at construction: leaving
+            # them in `dtype` makes every jitted frame re-cast the ~200M
+            # ConvNeXt-L parameter tree on device (~1.2 GB of HBM traffic
+            # per frame). The in-jit _cast then sees arrays already in
+            # compute_dtype and folds to identity. The AE stays in
+            # `dtype` — its f32 latents are the supervision signal.
+            visual_params = self._cast(visual_params)
+            hr_variables = self._cast(hr_variables)
         self.visual_params = visual_params
         self.hr_variables = hr_variables
         self.ae_variables = ae_variables
