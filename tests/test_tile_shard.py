@@ -46,8 +46,13 @@ def _scene(p=160, lang_dim=8, h=48, w=64, f=40.0, seed=3):
     return inputs, settings, proj, view
 
 
-def test_banded_render_matches_single_device():
+import pytest
+
+
+@pytest.mark.parametrize("multiseg", ["off", "hybrid"])
+def test_banded_render_matches_single_device(multiseg):
     inputs, settings, proj, view = _scene()
+    settings = settings._replace(multiseg=multiseg)
     mesh = make_mesh(8)
     banded = make_banded_render(mesh, settings, inputs.language.shape[1])
 
