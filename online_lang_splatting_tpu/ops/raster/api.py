@@ -49,6 +49,10 @@ class RasterSettings(NamedTuple):
     # Blend-kernel segment strategy ("off" | "on" | "hybrid"); None takes
     # the OLS_MULTISEG env default (config.MULTISEG).
     multiseg: str | None = None
+    # In-kernel prefix-scan implementation ("off" | "bwd" | "all" — MXU
+    # triangular dots vs Hillis-Steele); None takes the OLS_SCAN_MXU env
+    # default (config.SCAN_MXU).
+    scan_mxu: str | None = None
 
 
 def grow_bucket(current: int, demand: int, margin: float = 1.25) -> int:
@@ -182,7 +186,7 @@ def _rasterize_highp(
             width=settings.image_width, height=settings.image_height,
             tile=settings.tile, max_instances=settings.max_instances,
             grad_reduce=settings.grad_reduce, stats=settings.stats,
-            multiseg=settings.multiseg,
+            multiseg=settings.multiseg, scan_mxu=settings.scan_mxu,
         )
     return RasterOutput(
         color=out.color,

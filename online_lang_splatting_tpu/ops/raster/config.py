@@ -55,6 +55,28 @@ _ms = _os.environ.get("OLS_MULTISEG", "off")
 MULTISEG = {"0": "off", "1": "on"}.get(_ms, _ms)
 assert MULTISEG in ("off", "on", "hybrid"), MULTISEG
 
+# Prefix-scan implementation inside the blend kernels
+# (tiled._composite / tiled._vec_chunk_state / the backward wG prefix):
+#   "off" — Hillis-Steele shift scans (exact f32; log2(CHUNK) = 8 steps of
+#           ~3 full-block VPU passes each — the scans are ~50 of the ~90
+#           VPU passes per backward chunk).
+#   "bwd" — the BACKWARD kernel's two scans become triangular-matrix MXU
+#           dots (the transmittance product rides in log space); forward
+#           stays exact. Gradient parity budget is looser (7.9e-5 on
+#           hardware) than forward parity (4.2e-6).
+#   "all" — forward transmittance scan too.
+# Dots spell out bf16_3x by hand with f32-dtype operands whose VALUES
+# are bf16-exact (the x operand splits into three 8-bit-significand
+# terms — exact), so Mosaic's default single-bf16-pass f32 lowering is
+# exact per term; only f32 accumulation rounding remains. Explicit
+# bf16 operands are rejected, Precision.HIGH is unimplemented in the
+# v5e lowering, and HIGHEST 128x128 dots hang the remote compile
+# (CLAUDE.md). Default "off" until the hardware A/B replays golden
+# parity and times stage 7.
+_sm = _os.environ.get("OLS_SCAN_MXU", "off")
+SCAN_MXU = {"0": "off", "1": "all"}.get(_sm, _sm)
+assert SCAN_MXU in ("off", "bwd", "all"), SCAN_MXU
+
 # Per-Gaussian gradient reduction strategy (tiled._blend_bwd):
 #   "scatter"  — one wide-row XLA scatter-add over Gaussian ids (baseline;
 #                ~18 ms at the 1M bucket, rows serialize on id conflicts).

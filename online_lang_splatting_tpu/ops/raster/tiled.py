@@ -123,6 +123,82 @@ def _seg_prefix_scan(x: jax.Array, headf: jax.Array, op):
     return x
 
 
+def _mxu_prefix(mat: jax.Array, x: jax.Array) -> jax.Array:
+    """Prefix reduction as triangular-matrix MXU dots (OLS_SCAN_MXU).
+
+    mat is a (CHUNK, CHUNK) f32 0/1 mask (triangular, optionally
+    segment-restricted); x is (CHUNK, pix). Replaces a log2(CHUNK)-step
+    Hillis-Steele scan (~24 full-block VPU passes) with 3 MXU matmuls +
+    ~4 VPU passes. bf16_3x is spelled out by hand, with every operand
+    kept in f32 DTYPE but bf16-EXACT in value: x splits into three
+    bf16-exact terms (8+8+8 significand bits — the split is exact), so
+    Mosaic's default f32 lowering (ONE bf16 MXU pass, measured ~4e-3
+    relative on unsplit operands) is exact on each term and on the 0/1
+    mask, leaving only f32 accumulation rounding — the same error class
+    as the Hillis-Steele scan. Explicit bf16 operands are rejected
+    ("Bad lhs type"), Precision.HIGH is unimplemented in the v5e
+    lowering, and HIGHEST 128x128 dots hang the remote compile
+    (CLAUDE.md)."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    rem = x - hi
+    mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = rem - mid
+
+    def dot(v):
+        return jax.lax.dot_general(
+            mat, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return dot(hi) + dot(mid) + dot(lo)
+
+
+def _tri_mask(strict: bool, same: jax.Array | None = None) -> jax.Array:
+    """(CHUNK, CHUNK) f32 lower-triangular mask: row i sums/products over
+    rows j < i (strict) or j <= i. With `same` ((CHUNK, CHUNK) bool —
+    instance i and j share a tile segment), the mask is additionally
+    segment-restricted (the MXU form of a segmented scan)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    m = (ll < r) if strict else (ll <= r)
+    if same is not None:
+        m = m & same
+    return m.astype(jnp.float32)
+
+
+def _geom_grad_rows(dalpha, a, gt):
+    """(8, CHUNK) geometry-gradient block [dxg, dyg, dca, dcb, dcc, dop,
+    0, 0] from the per-(instance, pixel) alpha cotangent.
+
+    Conic entries are per-instance constants, so the position grads
+    factor through per-row reductions of full-block products against the
+    broadcast conic COLUMNS ((CHUNK, 1) -> (CHUNK, pix)). Every stacked
+    row must be the direct output of a (CHUNK, pix) lane reduction: rows
+    assembled from scalarized column slices (gt[:, k][:, 0] * sx, or any
+    1-D arithmetic on them) keep lane offset k, and Mosaic refuses to
+    stack rows with mismatched lane offsets ("result/input offset
+    mismatch on non-concat dimension", v5e remote compile)."""
+    not_clamped = a["alpha_raw"] < C.ALPHA_MAX
+    # In the unclamped region alpha == op*exp(power), so dpower =
+    # (dalpha*expp)*op shares one product with dop.
+    de = jnp.where(not_clamped, dalpha * a["expp"], 0.0)
+    dop = jnp.sum(de, axis=1)
+    dpower = de * gt[:, 5:6]
+    dx, dy = a["dx"], a["dy"]
+    ca, cb, cc = gt[:, 2:3], gt[:, 3:4], gt[:, 4:5]
+    ddx = dpower * dx
+    ddy = dpower * dy
+    dca = -0.5 * jnp.sum(ddx * dx, axis=1)
+    dcb = -jnp.sum(ddx * dy, axis=1)
+    dcc = -0.5 * jnp.sum(ddy * dy, axis=1)
+    dxg = -jnp.sum(ddx * ca + ddy * cb, axis=1)
+    dyg = -jnp.sum(ddy * cc + ddx * cb, axis=1)
+    zeros = jnp.zeros_like(dop)
+    return jnp.stack(
+        [dxg, dyg, dca, dcb, dcc, dop, zeros, zeros], axis=0
+    )
+
+
 def _prod_rows(x: jax.Array) -> jax.Array:
     """Product over axis 0 -> (1, cols) via a halving tree: ~2 full-size
     passes of VPU work where a Hillis-Steele scan (whose last row is the
@@ -193,14 +269,20 @@ def _chunk_alpha(geom, tile_id, tiles_x: int, tile: int, pix: int,
     )
 
 
-def _composite(alpha, skip, t_prev, done_prev):
+def _composite(alpha, skip, t_prev, done_prev, tri=None):
     """Prefix-product transmittance + stop handling for one chunk.
 
     t_prev/done_prev: (1, pix). Returns (cum_t, test_t, contrib, w,
-    t_new, done_new) with contrib/w zeroed after any stop.
+    t_new, done_new) with contrib/w zeroed after any stop. With `tri`
+    (a strict `_tri_mask`) the exclusive product rides the MXU in log
+    space — one_minus >= 0.01 (alpha clamp), and masked rows are exactly
+    1.0 so their log is exactly 0.
     """
     one_minus = 1.0 - alpha  # >= 0.01 (alpha clamped at 0.99)
-    cum_t = t_prev * _prefix_prod_excl(one_minus)
+    if tri is not None:
+        cum_t = t_prev * jnp.exp(_mxu_prefix(tri, jnp.log(one_minus)))
+    else:
+        cum_t = t_prev * _prefix_prod_excl(one_minus)
     test_t = cum_t * one_minus
     # test_t is the post-row transmittance, monotone non-increasing along
     # the chunk (skip rows multiply by exactly 1.0), so "some stop fired
@@ -223,31 +305,43 @@ def _cont_in(c, ct_ref):
 
 
 def _vec_chunk_state(geom, tiles, t_prev, done_prev, cont_in,
-                     tiles_x: int, tile: int, pix: int):
+                     tiles_x: int, tile: int, pix: int, mxu: bool = False):
     """Hoisted full-block state for the vectorized multi-segment body
     (shared by the fwd and bwd kernels): per-row tile origins, ONE
     segmented transmittance scan for every segment of the chunk, and the
     contribution masks. t_prev/done_prev ((1, pix)) apply only to rows
     of the chunk-opening segment and only when cont_in — at grid step 0
     they are uninitialized scratch, consumed exclusively through selects
-    whose predicate is then all-false."""
+    whose predicate is then all-false. With mxu, the segmented scan is a
+    segment-masked triangular MXU dot in log space (OLS_SCAN_MXU)."""
     tiles_col = tiles.T  # (CHUNK, 1) int32
     headf = (
         tiles_col != _shift_down(tiles_col, 1, -1)
     ).astype(jnp.float32)
     riota = _row_iota((CHUNK, 1))
     # Rows of the chunk-opening segment (the only one that can continue
-    # a tile from the previous chunk).
-    in0 = _prefix_scan(
-        jnp.where(riota == 0, 0.0, headf), jnp.maximum, 0.0
-    ) < 0.5
+    # a tile from the previous chunk): everything before the first
+    # in-chunk head — a min-reduce, not a scan (exact either way).
+    first_head = jnp.min(
+        jnp.where((headf > 0.5) & (riota > 0), riota, CHUNK)
+    )
+    in0 = riota < first_head
     a = _chunk_alpha(geom, tiles_col, tiles_x, tile, pix)
     alpha, skip = a["alpha"], a["skip"]
     one_minus = 1.0 - alpha
-    # Row 0 is a head, so the roll's wrapped row is discarded by the
-    # select — no fill mask needed.
-    x0 = jnp.where(headf > 0.5, 1.0, pltpu.roll(one_minus, 1, axis=0))
-    cum_seg = _seg_prefix_scan(x0, headf, jnp.multiply)
+    if mxu:
+        # Sorted order: equal tile ids are one contiguous run, so
+        # "same segment" == "same tile id".
+        cum_seg = jnp.exp(_mxu_prefix(
+            _tri_mask(True, tiles_col == tiles), jnp.log(one_minus)
+        ))
+    else:
+        # Row 0 is a head, so the roll's wrapped row is discarded by the
+        # select — no fill mask needed.
+        x0 = jnp.where(
+            headf > 0.5, 1.0, pltpu.roll(one_minus, 1, axis=0)
+        )
+        cum_seg = _seg_prefix_scan(x0, headf, jnp.multiply)
     tpm = jnp.logical_and(in0, cont_in)  # (CHUNK, 1)
     cum_t = jnp.where(tpm, t_prev, 1.0) * cum_seg
     test_t = cum_t * one_minus
@@ -319,6 +413,7 @@ def _fwd_kernel(
     t_s, done_s, acc_s, stage_s, nt_s, nc_s, meta_s, sem,
     *, tiles_x: int, num_tiles: int, tile: int, pix: int, f_pad: int,
     f_out: int, width: int, num_chunks: int, stats: bool, multiseg: str,
+    scan_mxu: bool,
 ):
     c = pl.program_id(0)
     base = c * CHUNK
@@ -340,6 +435,8 @@ def _fwd_kernel(
     @pl.when(ct_ref[c] >= 0)
     def _():
         tiles = tile_ref[...]  # (1, CHUNK)
+        # Hoisted out of the while_loop: built once per grid step.
+        tri = _tri_mask(True) if scan_mxu else None
 
         def body(j0):
             t, j1 = _seg_bounds(tiles, lane, j0, num_tiles)
@@ -366,7 +463,8 @@ def _fwd_kernel(
                         row_lo=j0, row_hi=j1,
                     )
                     cum_t, test_t, contrib, w, t_new, done_new = _composite(
-                        a["alpha"], a["skip"], t_s[...], done_s[...]
+                        a["alpha"], a["skip"], t_s[...], done_s[...],
+                        tri=tri,
                     )
                     acc_s[...] += jax.lax.dot_general(
                         feat_ref[...], w, (((1,), (0,)), ((), ())),
@@ -447,7 +545,7 @@ def _fwd_kernel(
             cont_in = _cont_in(c, ct_ref)
             v = _vec_chunk_state(
                 geom_ref[...], tiles, t_s[...], done_s[...], cont_in,
-                tiles_x, tile, pix,
+                tiles_x, tile, pix, mxu=scan_mxu,
             )
             riota, contrib, w = v["riota"], v["contrib"], v["w"]
             if stats:
@@ -539,6 +637,7 @@ def _bwd_kernel(
     *scratch,
     tiles_x: int, num_tiles: int, tile: int, pix: int, f_pad: int,
     f_out: int, width: int, num_chunks: int, multiseg: str,
+    scan_mxu: bool,
 ):
     if multiseg == "off":
         t_s, done_s, carry_s, g_s, ar_s, dg_s, df_s, sem = scratch
@@ -555,6 +654,9 @@ def _bwd_kernel(
     @pl.when(ct_ref[c] >= 0)
     def _():
         tiles = tile_ref[...]
+        # Hoisted out of the while_loop: built once per grid step.
+        tri = _tri_mask(True) if scan_mxu else None
+        tri_incl = _tri_mask(False) if scan_mxu else None
 
         def body(j0):
             t, j1 = _seg_bounds(tiles, lane, j0, num_tiles)
@@ -596,7 +698,7 @@ def _bwd_kernel(
                     )
                     alpha, skip = a["alpha"], a["skip"]
                     cum_t, test_t, contrib, w, t_new, done_new = _composite(
-                        alpha, skip, t_s[...], done_s[...]
+                        alpha, skip, t_s[...], done_s[...], tri=tri,
                     )
                     g_img = g_s[...]  # (f_pad, pix)
                     # G_j[p] = sum_f feat[f, j] * g[f, p]
@@ -606,38 +708,16 @@ def _bwd_kernel(
                         precision=jax.lax.Precision.HIGHEST,
                     )  # (CHUNK, pix)
                     wg = w * gdot
-                    prefix_incl = _prefix_sum_incl(wg)
+                    prefix_incl = (
+                        _mxu_prefix(tri_incl, wg) if scan_mxu
+                        else _prefix_sum_incl(wg)
+                    )
                     suffix = carry_s[...] - prefix_incl  # future wG + T·gT
                     dalpha = jnp.where(
                         contrib, cum_t * gdot - suffix / (1.0 - alpha), 0.0
                     )
-                    not_clamped = a["alpha_raw"] < C.ALPHA_MAX
-                    # In the unclamped region alpha == op*exp(power), so
-                    # dpower = (dalpha*expp)*op shares one product with dop.
-                    gt = geom_ref[...].T
-                    de = jnp.where(
-                        not_clamped, dalpha * a["expp"], 0.0
-                    )
-                    dop = jnp.sum(de, axis=1)
-                    dpower = de * gt[:, 5:6]
-                    dx, dy = a["dx"], a["dy"]
-                    ca, cb, cc = gt[:, 2:3], gt[:, 3:4], gt[:, 4:5]
-                    # Conic entries are per-instance constants, so the
-                    # position grads factor through two reduced sums —
-                    # 2 products + 5 reductions instead of 5x (product
-                    # chain + reduction) over the (CHUNK, pix) block.
-                    ddx = dpower * dx
-                    ddy = dpower * dy
-                    sx = jnp.sum(ddx, axis=1)
-                    sy = jnp.sum(ddy, axis=1)
-                    dca = -0.5 * jnp.sum(ddx * dx, axis=1)
-                    dcb = -jnp.sum(ddx * dy, axis=1)
-                    dcc = -0.5 * jnp.sum(ddy * dy, axis=1)
-                    dxg = -(ca[:, 0] * sx + cb[:, 0] * sy)
-                    dyg = -(cc[:, 0] * sy + cb[:, 0] * sx)
-                    zeros = jnp.zeros_like(dop)
-                    dg_s[...] += jnp.stack(
-                        [dxg, dyg, dca, dcb, dcc, dop, zeros, zeros], axis=0
+                    dg_s[...] += _geom_grad_rows(
+                        dalpha, a, geom_ref[...].T
                     )
                     df_s[...] += jax.lax.dot_general(
                         g_img, w, (((1,), (1,)), ((), ())),
@@ -672,7 +752,7 @@ def _bwd_kernel(
             cont_in = _cont_in(c, ct_ref)
             v = _vec_chunk_state(
                 geom_ref[...], tiles, t_s[...], done_s[...], cont_in,
-                tiles_x, tile, pix,
+                tiles_x, tile, pix, mxu=scan_mxu,
             )
             riota, contrib, w = v["riota"], v["contrib"], v["w"]
             a, cum_t, one_minus = v["a"], v["cum_t"], v["one_minus"]
@@ -741,31 +821,17 @@ def _bwd_kernel(
             gdot = gd_s[...]
             tr = tr_s[...]
             wg = w * gdot
-            prefix_incl = _seg_prefix_scan(wg, v["headf"], jnp.add)
+            if scan_mxu:
+                prefix_incl = _mxu_prefix(
+                    _tri_mask(False, tiles.T == tiles), wg
+                )
+            else:
+                prefix_incl = _seg_prefix_scan(wg, v["headf"], jnp.add)
             suffix = tr - prefix_incl
             dalpha = jnp.where(
                 contrib, cum_t * gdot - suffix / one_minus, 0.0
             )
-            not_clamped = a["alpha_raw"] < C.ALPHA_MAX
-            gt = geom_ref[...].T
-            de = jnp.where(not_clamped, dalpha * a["expp"], 0.0)
-            dop = jnp.sum(de, axis=1)
-            dpower = de * gt[:, 5:6]
-            dx, dy = a["dx"], a["dy"]
-            ca, cb, cc = gt[:, 2:3], gt[:, 3:4], gt[:, 4:5]
-            ddx = dpower * dx
-            ddy = dpower * dy
-            sx = jnp.sum(ddx, axis=1)
-            sy = jnp.sum(ddy, axis=1)
-            dca = -0.5 * jnp.sum(ddx * dx, axis=1)
-            dcb = -jnp.sum(ddx * dy, axis=1)
-            dcc = -0.5 * jnp.sum(ddy * dy, axis=1)
-            dxg = -(ca[:, 0] * sx + cb[:, 0] * sy)
-            dyg = -(cc[:, 0] * sy + cb[:, 0] * sx)
-            zeros = jnp.zeros_like(dop)
-            dg_s[...] += jnp.stack(
-                [dxg, dyg, dca, dcb, dcc, dop, zeros, zeros], axis=0
-            )
+            dg_s[...] += _geom_grad_rows(dalpha, a, geom_ref[...].T)
             # Carry for a continuing last tile: its entry total minus its
             # in-chunk inclusive wG (other tiles' rows reset the scan).
             # Garbage when the chunk ends in padding — the next chunk
@@ -823,16 +889,17 @@ def _pack_instances(xy, conic, opacity, color, lang, depth, point_list):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20)
+    jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18, 19, 20, 21)
 )
 def _blend_core(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
                 starts, cont, tile_counts, s_emit, emit_start, emit_count,
                 py_limit, tile, width, height, grad_reduce, stats,
-                multiseg):
+                multiseg, scan_mxu):
     out, _ = _blend_fwd_impl(
         xy, conic, opacity, color, lang, depth, s_gid, s_tile,
         starts, cont, tile_counts, s_emit, emit_start, emit_count,
-        py_limit, tile, width, height, grad_reduce, stats, multiseg
+        py_limit, tile, width, height, grad_reduce, stats, multiseg,
+        scan_mxu
     )
     return out
 
@@ -840,7 +907,7 @@ def _blend_core(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
 def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
                     starts, cont, tile_counts, s_emit, emit_start,
                     emit_count, py_limit, tile, width, height, grad_reduce,
-                    stats, multiseg):
+                    stats, multiseg, scan_mxu):
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
     num_tiles = tiles_x * tiles_y
@@ -857,6 +924,7 @@ def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
         _fwd_kernel, tiles_x=tiles_x, num_tiles=num_tiles, tile=tile,
         pix=pix, f_pad=f_pad, f_out=f_out, width=width,
         num_chunks=num_chunks, stats=stats, multiseg=multiseg,
+        scan_mxu=(scan_mxu == "all"),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -917,16 +985,17 @@ def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
 def _blend_fwd(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
                starts, cont, tile_counts, s_emit, emit_start, emit_count,
                py_limit, tile, width, height, grad_reduce, stats,
-               multiseg):
+               multiseg, scan_mxu):
     return _blend_fwd_impl(
         xy, conic, opacity, color, lang, depth, s_gid, s_tile,
         starts, cont, tile_counts, s_emit, emit_start, emit_count,
-        py_limit, tile, width, height, grad_reduce, stats, multiseg
+        py_limit, tile, width, height, grad_reduce, stats, multiseg,
+        scan_mxu
     )
 
 
 def _blend_bwd(tile, width, height, grad_reduce, stats, multiseg,
-               residuals, cotangents):
+               scan_mxu, residuals, cotangents):
     (xy, conic, opacity, color, lang, depth, acc_res,
      s_gid, s_tile, starts, cont, tile_counts,
      s_emit, emit_start, emit_count, py_limit) = residuals
@@ -948,6 +1017,7 @@ def _blend_bwd(tile, width, height, grad_reduce, stats, multiseg,
         _bwd_kernel, tiles_x=tiles_x, num_tiles=num_tiles, tile=tile,
         pix=pix, f_pad=f_pad, f_out=f_out, width=width,
         num_chunks=num_chunks, multiseg=multiseg,
+        scan_mxu=(scan_mxu in ("bwd", "all")),
     )
     # The vectorized multi-segment path needs two full-chunk scratch
     # blocks: the accumulated gdot and the per-row entry carries.
@@ -1088,6 +1158,7 @@ def blend_tiled(
     grad_reduce: str | None = None,
     stats: bool = True,
     multiseg: str | None = None,
+    scan_mxu: str | None = None,
 ):
     """Full tiled pipeline: bin → Pallas blend → image assembly.
 
@@ -1100,7 +1171,9 @@ def blend_tiled(
     (those outputs come back zero) — for render loops that never read
     them, e.g. tracking iterations. `multiseg` picks the kernels'
     segment strategy ("off" | "on" | "hybrid", see config.MULTISEG);
-    None takes the OLS_MULTISEG env default.
+    None takes the OLS_MULTISEG env default. `scan_mxu` picks the
+    in-kernel prefix-scan implementation ("off" | "bwd" | "all", see
+    config.SCAN_MXU); None takes the OLS_SCAN_MXU env default.
     """
     from .oracle import BlendOutput
 
@@ -1110,6 +1183,9 @@ def blend_tiled(
     if multiseg is None:
         multiseg = C.MULTISEG
     assert multiseg in ("off", "on", "hybrid"), multiseg
+    if scan_mxu is None:
+        scan_mxu = C.SCAN_MXU
+    assert scan_mxu in ("off", "bwd", "all"), scan_mxu
     p = prep.xy.shape[0]
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
@@ -1149,7 +1225,7 @@ def blend_tiled(
         jnp.where(prep.valid, prep.depth, 0.0),
         binning.s_gid, binning.s_tile, binning.starts, binning.cont,
         binning.tile_counts, s_emit, emit_start, emit_count, py_limit,
-        tile, width, height, grad_reduce, stats, multiseg,
+        tile, width, height, grad_reduce, stats, multiseg, scan_mxu,
     )
 
     # n_touched: per-chunk rows -> per-instance -> per-Gaussian.

@@ -122,7 +122,7 @@ def _band_blend(inputs: RenderInputs, view, proj, settings: RasterSettings,
                 settings.image_height - band_idx * band_h, 0, band_h
             ),
             grad_reduce=settings.grad_reduce, stats=settings.stats,
-            multiseg=settings.multiseg,
+            multiseg=settings.multiseg, scan_mxu=settings.scan_mxu,
         )
         return out, prep.radius
 

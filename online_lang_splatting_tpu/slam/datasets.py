@@ -258,7 +258,7 @@ class SyntheticDataset(BaseDataset):
         w2c[:3, 3] = [-0.15 * t, -0.05 * np.cos(2 * np.pi * t), 0.1 * t]
         return w2c
 
-    def __getitem__(self, idx):
+    def _raycast(self, idx):
         w2c = self.poses[idx]
         c2w = np.linalg.inv(w2c)
         h, w = self.height, self.width
@@ -273,6 +273,10 @@ class SyntheticDataset(BaseDataset):
         ty = (1.5 - org[1]) / np.where(np.abs(dirs_w[..., 1]) > 1e-6, dirs_w[..., 1], 1e6)
         ty = np.where(ty > 0, ty, 1e6)
         tt = np.minimum(tz, ty)
+        return w2c, org, dirs, dirs_w, tz, ty, tt
+
+    def __getitem__(self, idx):
+        w2c, org, dirs, dirs_w, tz, ty, tt = self._raycast(idx)
         pts = org + tt[..., None] * dirs_w
         u = np.abs(pts[..., 0] % 4.0) / 4.0
         v = np.abs((pts[..., 1] + pts[..., 2]) % 4.0) / 4.0
@@ -282,6 +286,20 @@ class SyntheticDataset(BaseDataset):
         depth = (tt * dirs[..., 2]).astype(np.float32)  # z-depth
         color = np.transpose(np.clip(color, 0, 1), (2, 0, 1)).astype(np.float32)
         return color, depth, w2c.astype(np.float32), None, None
+
+    # Class labels for the analytic surfaces (synthetic open-vocabulary GT).
+    SEMANTIC_LABELS = ("wall", "floor")
+
+    def gt_semantics(self, idx) -> np.ndarray:
+        """(H, W) int class mask from the known geometry: 0 = wall (z=4
+        plane wins the ray intersection), 1 = floor (y=1.5 plane).
+
+        Ground truth for the synthetic end-to-end open-vocabulary eval
+        (eval/synthetic_miou.py) — the same role the LERF-style mask
+        annotations play in the reference protocol
+        (/root/reference/eval/evaluate_onlinelangslam.py:305-352)."""
+        _, _, _, _, tz, ty, tt = self._raycast(idx)
+        return np.where(tt == tz, 0, 1).astype(np.int32)
 
 
 class EuRoCDataset(BaseDataset):

@@ -59,13 +59,26 @@ def parse_json_line(path: Path, key: str):
 
 def main():
     log = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/hwq")
+
+    def stage7_first(*names):
+        for n in names:
+            r = parse_stage7(log / f"{n}.log")
+            if r:
+                return r
+        return None
+
     s7 = {
-        "scatter (base)": parse_stage7(log / "02_stage7_scatter.log"),
+        "scatter (base)": stage7_first(
+            "02_stage7_base", "02_stage7_scatter"),
         "emission": parse_stage7(log / "03_stage7_emission.log"),
         "multiseg": parse_stage7(log / "11_stage7_multiseg.log"),
         "multiseg+emission": parse_stage7(log / "12_stage7_ms_emission.log"),
+        "scan_mxu bwd": parse_stage7(log / "16_stage7_scan_bwd.log"),
+        "scan_mxu all": parse_stage7(log / "17_stage7_scan_all.log"),
+        "multiseg+scan": parse_stage7(log / "18_stage7_ms_scan.log"),
         "n15k base": parse_stage7(log / "13_stage7_n15k_base.log"),
-        "n15k multiseg": parse_stage7(log / "14_stage7_n15k_ms.log"),
+        "n15k best": stage7_first(
+            "14_stage7_n15k_best", "14_stage7_n15k_ms"),
         "multiseg c512": parse_stage7(log / "15_stage7_ms_c512.log"),
     }
     print("=== stage-7 timings (ms) ===")
@@ -79,10 +92,19 @@ def main():
         else:
             print(f"  {name}: (missing)")
 
+    def parity_first(*names):
+        for n in names:
+            v = parse_parity(log / f"{n}.log")
+            if v is not None:
+                return v
+        return None
+
     parity = {
-        "scatter": parse_parity(log / "04_parity_scatter.log"),
+        "scatter": parity_first("04_parity_base", "04_parity_scatter"),
         "emission": parse_parity(log / "05_parity_emission.log"),
         "multiseg": parse_parity(log / "10_parity_multiseg.log"),
+        "scan_all": parse_parity(log / "19_parity_scan_all.log"),
+        "ms+scan": parse_parity(log / "20_parity_ms_scan.log"),
     }
     print("=== golden parity (all_ok) ===")
     for k, v in parity.items():
@@ -124,6 +146,10 @@ def main():
     rec("OLS_MULTISEG=hybrid + emission", "multiseg+emission",
         parity["multiseg"] and parity["emission"]
         if None not in (parity["multiseg"], parity["emission"]) else None)
+    rec("OLS_SCAN_MXU=bwd", "scan_mxu bwd", parity["scan_all"])
+    rec("OLS_SCAN_MXU=all", "scan_mxu all", parity["scan_all"])
+    rec("OLS_MULTISEG=hybrid + OLS_SCAN_MXU=all", "multiseg+scan",
+        parity["ms+scan"])
     rec("OLS_BLEND_CHUNK=512 (under hybrid)", "multiseg c512",
         parity["multiseg"])
 
