@@ -6,7 +6,7 @@ Same interface as the reference demo
 
     python language/language_features.py \
         --high-res-model <hr_net.npz> --lang-model <weights_dir> \
-        --input sample/replica_room0.jpg --query-text vase \
+        --input sample/demo_room.jpg --query-text vase \
         [--output-dir out] [--no-visualize]
 
 Loads the fused extractor (ConvNeXt-L dense CLIP → HR head), extracts the
@@ -119,20 +119,32 @@ def main():
 
             if text_path and text_path.exists():
                 text_params = load_npz_tree(text_path)
-                rel = CLIPRelevancy(text_params, SimpleTokenizer())
-                rel.set_positives([args.query_text])
-                feat_n = np.asarray(hr_feat)
-                feat_n = feat_n / np.maximum(
-                    np.linalg.norm(feat_n, axis=-1, keepdims=True), 1e-9
-                )
-                relev = np.asarray(rel.get_max_across(feat_n[None]))[0, 0]
-                heat = (relev - relev.min()) / (relev.ptp() + 1e-9)
-                Image.fromarray((heat * 255).astype(np.uint8)).save(
-                    out_dir / f"{stem}_heatmap_{args.query_text}.png"
-                )
-                print(f"Saved '{args.query_text}' heatmap")
             else:
-                print("No clip_text.npz — skipping text-query heatmap")
+                # Bare checkout: random-init text tower so the demo's
+                # full pipeline (tokenize → encode → relevancy → heatmap)
+                # still runs; the heatmap is untrained noise until real
+                # converted weights are supplied.
+                print("No clip_text.npz — heatmap uses a random-init "
+                      "text tower (untrained)")
+                from online_lang_splatting_tpu.models.text_tower import (
+                    TextTower,
+                )
+
+                text_params = TextTower().init(
+                    jax.random.key(0), jnp.zeros((1, 77), jnp.int32)
+                )["params"]
+            rel = CLIPRelevancy(text_params, SimpleTokenizer())
+            rel.set_positives([args.query_text])
+            feat_n = np.asarray(hr_feat)
+            feat_n = feat_n / np.maximum(
+                np.linalg.norm(feat_n, axis=-1, keepdims=True), 1e-9
+            )
+            relev = np.asarray(rel.get_max_across(feat_n[None]))[0, 0]
+            heat = (relev - relev.min()) / (np.ptp(relev) + 1e-9)
+            Image.fromarray((heat * 255).astype(np.uint8)).save(
+                out_dir / f"{stem}_heatmap_{args.query_text}.png"
+            )
+            print(f"Saved '{args.query_text}' heatmap")
         except FileNotFoundError as e:
             print(f"Skipping heatmap: {e}")
 

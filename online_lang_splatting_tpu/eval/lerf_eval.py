@@ -49,7 +49,9 @@ def activate_stream(
     thresh: float = 0.5,
 ):
     """sem_map (levels, H, W, 768) → (per-query IoU list, chosen levels)."""
-    valid_map = np.asarray(relevancy.get_max_across(sem_map))
+    # np.array (copy): np.asarray of a device array is a READ-ONLY view,
+    # and this function writes the blur blend back into valid_map.
+    valid_map = np.array(relevancy.get_max_across(sem_map))
     n_head, n_prompt, h, w = valid_map.shape
     chosen_iou, chosen_lvl = [], []
     for k in range(n_prompt):

@@ -30,13 +30,23 @@ class CLIPRelevancy:
     """Holds normalized positive/negative text embeddings and scores maps."""
 
     def __init__(self, text_params=None, tokenizer=None, *,
-                 pos_embeds=None, neg_embeds=None):
+                 pos_embeds=None, neg_embeds=None, embed_table=None):
+        """`embed_table` ({query text: (D,) embedding}) serves queries
+        without a text tower — precomputed CLIP text embeddings for
+        offline eval, or synthetic class embeddings for the
+        known-geometry mIoU harness (eval/synthetic_miou.py). Lookup
+        falls back to the text tower for queries missing from the table.
+        """
         self._text_params = text_params
         self._tokenizer = tokenizer
+        self._embed_table = (
+            {k: np.asarray(v, np.float32) for k, v in embed_table.items()}
+            if embed_table else None
+        )
         self.pos_embeds = None if pos_embeds is None else _l2n(jnp.asarray(pos_embeds))
         if neg_embeds is not None:
             self.neg_embeds = _l2n(jnp.asarray(neg_embeds))
-        elif text_params is not None:
+        elif text_params is not None or self._embed_table is not None:
             self.neg_embeds = self._encode(list(NEGATIVES))
         else:
             raise ValueError("need text tower params or precomputed neg_embeds")
@@ -44,6 +54,17 @@ class CLIPRelevancy:
         self.semantic_embeds = None
 
     def _encode(self, texts):
+        if self._embed_table is not None:
+            missing = [t for t in texts if t not in self._embed_table]
+            if not missing:
+                return _l2n(jnp.stack(
+                    [jnp.asarray(self._embed_table[t]) for t in texts]
+                ))
+            if self._text_params is None:
+                raise KeyError(
+                    f"queries missing from embed_table and no text tower "
+                    f"loaded: {missing}"
+                )
         from ..models.text_tower import TextTower
 
         tokens = jnp.asarray(self._tokenizer(texts))
