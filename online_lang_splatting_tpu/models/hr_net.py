@@ -12,11 +12,77 @@ batch stats for the offline distillation trainer.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from .convnext_clip import resize_bilinear
+
+# ConvTranspose implementation: "phase" decomposes each k4s2 transposed
+# conv into 4 polyphase 2x2 convs + interleave — numerically identical,
+# but 4x fewer MACs than XLA's input-dilation lowering (which convolves
+# densely over the zero-dilated input). "xla" keeps nn.ConvTranspose.
+# Default stays "xla" until the hardware A/B (tools/extractor_profile.py)
+# shows "phase" faster; read at trace time so the A/B can flip it per run.
+def _hr_convt() -> str:
+    return os.environ.get("OLS_HR_CONVT", "xla")
+
+
+class PhaseConvTranspose2x(nn.Module):
+    """torch ConvTranspose2d(k=4, s=2, p=1) via polyphase decomposition.
+
+    Parameter-compatible with flax nn.ConvTranspose(transpose_kernel=True)
+    — kernel (4, 4, out, in), bias (out,) — so converted checkpoints
+    (tools/convert_weights.py:_convbnrelu) load unchanged.
+
+    torch semantics: out[2y+r, 2x+s] = Σ_iy,ix in[iy, ix] · w[ky, kx]
+    with ky = (2y+r) − 2·iy + 1 ∈ [0, 4). Phase r=0 therefore uses
+    kernel rows [3, 1] over input taps (y−1, y); phase r=1 rows [2, 0]
+    over taps (y, y+1); columns likewise. Each phase is one 2x2 conv —
+    exactly k²/s² = 4 MACs per output instead of the dilated k² = 16.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (4, 4, self.features, cin),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
+        w = jnp.transpose(kernel, (0, 1, 3, 2))  # (ky, kx, in, out) HWIO
+        n, h, wd, _ = x.shape
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, (2, 2, cin, self.features), ("NHWC", "HWIO", "NHWC")
+        )
+        phases = []
+        for r in (0, 1):
+            row = []
+            for s in (0, 1):
+                # Kernel rows in ascending-input-tap order (see class
+                # docstring): row 3 pairs with the earlier tap.
+                ky = (3, 1) if r == 0 else (2, 0)
+                kx = (3, 1) if s == 0 else (2, 0)
+                pk = w[jnp.array(ky)][:, jnp.array(kx)]
+                pad_y = (1, 0) if r == 0 else (0, 1)
+                pad_x = (1, 0) if s == 0 else (0, 1)
+                row.append(jax.lax.conv_general_dilated(
+                    x, pk, window_strides=(1, 1),
+                    padding=(pad_y, pad_x), dimension_numbers=dn,
+                ))
+            phases.append(row)
+        # Interleave: out[2y+r, 2x+s] = phases[r][s][y, x].
+        out = jnp.stack(
+            [jnp.stack(row, axis=3) for row in phases], axis=2
+        )  # (n, h, 2, w, 2, c)
+        out = out.reshape(n, 2 * h, 2 * wd, self.features)
+        return out + bias
 
 
 class ConvBNRelu(nn.Module):
@@ -27,12 +93,16 @@ class ConvBNRelu(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.transpose:
-            # torch ConvTranspose2d(k=4, s=2, p=1) == 2x upsample; flax pad
-            # convention is k-1-p_torch = 2 per side (see tests for probe).
-            x = nn.ConvTranspose(
-                self.features, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
-                transpose_kernel=True, name="conv",
-            )(x)
+            if _hr_convt() == "phase":
+                x = PhaseConvTranspose2x(self.features, name="conv")(x)
+            else:
+                # torch ConvTranspose2d(k=4, s=2, p=1) == 2x upsample;
+                # flax pad convention is k-1-p_torch = 2 per side.
+                x = nn.ConvTranspose(
+                    self.features, (4, 4), strides=(2, 2),
+                    padding=((2, 2), (2, 2)),
+                    transpose_kernel=True, name="conv",
+                )(x)
         else:
             x = nn.Conv(
                 self.features, (self.kernel, self.kernel),
