@@ -63,8 +63,25 @@ def _measure(q):
 
     # bf16 conv towers (the reference's own eval encoder runs fp16;
     # bf16-vs-f32 code cosine is 0.99996). The AE stays f32.
+    # With OLS_WEIGHTS_DIR set (tools/verify_artifacts.py), the bench
+    # runs on REAL converted weights instead of random init.
+    wdir = os.environ.get("OLS_WEIGHTS_DIR")
+    trees = {}
+    if wdir:
+        from pathlib import Path
+
+        from online_lang_splatting_tpu.models.checkpoints import (
+            load_npz_tree,
+        )
+
+        for key, fname in (("visual_params", "clip_visual.npz"),
+                           ("hr_variables", "hr_net.npz"),
+                           ("ae_variables", "autoencoder.npz")):
+            p = Path(wdir) / fname
+            if p.exists():
+                trees[key] = load_npz_tree(p)
     extractor = LangFeatureExtractor(
-        rng=jax.random.key(0), compute_dtype=jnp.bfloat16
+        rng=jax.random.key(0), compute_dtype=jnp.bfloat16, **trees
     )
     # Distinct frames each call — identical-input loops can be elided by
     # runtime caching layers and report fictitious throughput.
@@ -96,7 +113,28 @@ def _measure(q):
     outs = [run(f) for f in frames]
     _ = float(combine(outs))
     dt = (time.time() - t0) / n
-    q.put(1.0 / dt)
+
+    # Single-frame LATENCY (what SLAM's per-keyframe extraction pays,
+    # backend.py ensure_lang_features): dispatch ONE frame through the
+    # already-compiled _encode_frame program, then fetch a scalar that
+    # data-depends on its output. (Wrapping run() in a fresh
+    # jit(sum(run(f))) would recompile the whole ConvNeXt-L pipeline —
+    # a second multi-minute compile whose request has also blown the
+    # remote relay's body limit, HTTP 413.) The null measurement — the
+    # same scalar fetch on a resident output — is subtracted, removing
+    # the tunnel round trip + small-program overhead.
+    small_sum = jax.jit(jnp.sum)
+    _ = float(small_sum(out))  # compile tiny summer
+    rtts, lats = [], []
+    for f in frames[:8]:
+        t0 = time.time()
+        _ = float(small_sum(out))
+        rtts.append(time.time() - t0)
+        t0 = time.time()
+        _ = float(small_sum(run(f)))
+        lats.append(time.time() - t0)
+    latency_ms = (np.median(lats) - np.median(rtts)) * 1000.0
+    q.put((1.0 / dt, latency_ms))
 
 
 def main():
@@ -107,14 +145,20 @@ def main():
         child.start()
         child.join(deadline)
         if not q.empty():
-            fps = q.get()
+            got = q.get()
+            fps, latency_ms = got if isinstance(got, tuple) else (got, None)
             child.join(5)
-            print(json.dumps({
+            out = {
                 "metric": "lang_feature_map_fps_192x192x768",
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
-            }))
+            }
+            if latency_ms is not None:
+                # Single-frame device latency (null-RTT-corrected; the
+                # throughput above pipelines 16 dispatches).
+                out["latency_ms"] = round(latency_ms, 1)
+            print(json.dumps(out))
             return 0
         if child.is_alive():
             # Wedged: kill by PID (never by pattern), let the tunnel

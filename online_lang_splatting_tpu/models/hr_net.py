@@ -56,7 +56,13 @@ class PhaseConvTranspose2x(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,)
         )
-        w = jnp.transpose(kernel, (0, 1, 3, 2))  # (ky, kx, in, out) HWIO
+        # Match flax promotion semantics (raw lax.conv requires equal
+        # dtypes): bf16 activations x f32 params compute in f32 at init,
+        # bf16 throughout once the tree is pre-cast (models/sed.py).
+        cdt = jnp.promote_types(x.dtype, kernel.dtype)
+        x = x.astype(cdt)
+        w = jnp.transpose(kernel, (0, 1, 3, 2)).astype(cdt)  # HWIO
+        bias = bias.astype(cdt)
         n, h, wd, _ = x.shape
         dn = jax.lax.conv_dimension_numbers(
             x.shape, (2, 2, cin, self.features), ("NHWC", "HWIO", "NHWC")

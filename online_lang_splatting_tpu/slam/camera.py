@@ -11,12 +11,44 @@ else a global median threshold.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import graphics, losses
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _grad_mask_device(image, is_replica: bool, rows: int, cols: int,
+                      edge_threshold):
+    """Whole Scharr grad-mask pipeline as ONE device program.
+
+    The eager version cost ~6 dispatches + a full-image device->host
+    fetch + a host->device mask upload PER FRAME — each paying the
+    remote tunnel's 50-300 ms round trip (CLAUDE.md); at 40 frames that
+    was the bulk of the gate's 17 s "data" phase."""
+    gray = jnp.mean(image, axis=0, keepdims=True)
+    grad_v, grad_h = losses.image_gradient(gray)
+    mask_v, mask_h = losses.image_gradient_mask(gray)
+    intensity = jnp.sqrt(
+        jnp.square(grad_v * mask_v) + jnp.square(grad_h * mask_h)
+    )
+    if not is_replica:
+        med = jnp.median(intensity)
+        return (intensity > med * edge_threshold).astype(jnp.float32)
+    h, w = intensity.shape[1], intensity.shape[2]
+    bh, bw = h // rows, w // cols
+    blocks = intensity[0, : rows * bh, : cols * bw].reshape(
+        rows, bh, cols, bw
+    )
+    med = jnp.median(blocks, axis=(1, 3), keepdims=True)
+    out = (blocks > med * edge_threshold).astype(jnp.float32)
+    out = out.reshape(rows * bh, cols * bw)
+    full = jnp.zeros((h, w), jnp.float32)
+    return full.at[: rows * bh, : cols * bw].set(out)[None]
 
 
 @dataclasses.dataclass
@@ -43,6 +75,7 @@ class Camera:
     gt_lang_feat: Any = None    # (L, 192, 192) cached supervision map
     coco_lang_feat: Any = None  # (N, 32) two-stage cached codes
     lang_feat_mask: Any = None
+    image_host: Any = None      # optional (3, H, W) host copy (numpy)
 
     def __post_init__(self):
         if self.r is None:
@@ -53,7 +86,7 @@ class Camera:
     @classmethod
     def from_dataset(cls, dataset, idx: int) -> "Camera":
         color, depth, pose, gt_lang, lang_mask = dataset[idx]
-        return cls(
+        cam = cls(
             uid=idx,
             image=jnp.asarray(color),
             depth=depth,
@@ -64,6 +97,11 @@ class Camera:
             height=dataset.height, width=dataset.width,
             gt_lang_feat=gt_lang, lang_feat_mask=lang_mask,
         )
+        # Keep the dataset's host copy: keyframe insertion reads pixels
+        # host-side (frontend.new_keyframe_depth); without this it pays a
+        # ~10 MB device->host fetch through the remote tunnel per KF.
+        cam.image_host = color if isinstance(color, np.ndarray) else None
+        return cam
 
     def update_rt(self, r, t):
         self.r = np.asarray(r, np.float32)
@@ -78,30 +116,14 @@ class Camera:
 
     def compute_grad_mask(self, config: dict):
         edge_threshold = config["Training"]["edge_threshold"]
-        gray = jnp.mean(self.image, axis=0, keepdims=True)
-        grad_v, grad_h = losses.image_gradient(gray)
-        mask_v, mask_h = losses.image_gradient_mask(gray)
-        intensity = jnp.sqrt(
-            jnp.square(grad_v * mask_v) + jnp.square(grad_h * mask_h)
+        self.grad_mask = _grad_mask_device(
+            self.image, config["Dataset"]["type"] == "replica", 32, 32,
+            jnp.float32(edge_threshold),
         )
-        if config["Dataset"]["type"] == "replica":
-            rows = cols = 32
-            h, w = self.height, self.width
-            bh, bw = h // rows, w // cols
-            blocks = np.asarray(intensity)[0, : rows * bh, : cols * bw].reshape(
-                rows, bh, cols, bw
-            )
-            med = np.median(blocks, axis=(1, 3), keepdims=True)
-            out = (blocks > med * edge_threshold).astype(np.float32)
-            full = np.zeros((h, w), np.float32)
-            full[: rows * bh, : cols * bw] = out.reshape(rows * bh, cols * bw)
-            self.grad_mask = jnp.asarray(full[None])
-        else:
-            med = jnp.median(intensity)
-            self.grad_mask = (intensity > med * edge_threshold).astype(jnp.float32)
 
     def clean(self):
         self.image = None
+        self.image_host = None
         self.depth = None
         self.grad_mask = None
         self.gt_lang_feat = None

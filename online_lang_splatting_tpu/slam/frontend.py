@@ -191,6 +191,14 @@ class FrontEnd:
                     settings=self.settings, max_iters=max_iters,
                     rgb_threshold=self.rgb_boundary_threshold,
                 )
+            # ONE batched fetch for everything the host consumes: each
+            # scalar float()/int() pays its own 50-300 ms tunnel round
+            # trip; batching them is the same trick as the backend's
+            # chunk fetches (CLAUDE.md, backend.py).
+            (view, ea, eb, n_iters, loss, med, visibility, overflow,
+             demand) = jax.device_get(
+                (view, ea, eb, n_iters, loss, med, visibility, overflow,
+                 demand))
             if not bool(overflow):
                 break
             # Demand-sized growth (grow_bucket docstring): land on the
@@ -274,9 +282,12 @@ class FrontEnd:
 
     def new_keyframe_depth(self, cam: Camera) -> np.ndarray:
         """Observed depth with invalid-RGB pixels zeroed (add_new_keyframe)."""
-        valid_rgb = (
-            np.asarray(cam.image).sum(axis=0) > self.rgb_boundary_threshold
+        # Prefer the host copy: np.asarray(device image) pays a ~10 MB
+        # fetch through the remote tunnel per keyframe.
+        img = cam.image_host if cam.image_host is not None else np.asarray(
+            cam.image
         )
+        valid_rgb = img.sum(axis=0) > self.rgb_boundary_threshold
         depth = cam.depth.copy()
         depth[~valid_rgb] = 0.0
         return depth

@@ -205,3 +205,42 @@ class TestLosses:
         img2 = jnp.ones((1, 8, 8))
         mask_v2, _ = losses.image_gradient_mask(img2)
         assert bool(mask_v2.all())
+
+
+class TestGradMaskDevice:
+    """The one-dispatch device grad mask must match the original
+    host/numpy per-block-median computation exactly."""
+
+    def _host_reference(self, image, edge_threshold, replica):
+        from online_lang_splatting_tpu.ops import losses
+
+        gray = jnp.mean(jnp.asarray(image), axis=0, keepdims=True)
+        grad_v, grad_h = losses.image_gradient(gray)
+        mask_v, mask_h = losses.image_gradient_mask(gray)
+        intensity = np.asarray(jnp.sqrt(
+            jnp.square(grad_v * mask_v) + jnp.square(grad_h * mask_h)
+        ))
+        if not replica:
+            med = np.median(intensity)
+            return (intensity > med * edge_threshold).astype(np.float32)
+        rows = cols = 32
+        h, w = image.shape[1], image.shape[2]
+        bh, bw = h // rows, w // cols
+        blocks = intensity[0, : rows * bh, : cols * bw].reshape(
+            rows, bh, cols, bw)
+        med = np.median(blocks, axis=(1, 3), keepdims=True)
+        out = (blocks > med * edge_threshold).astype(np.float32)
+        full = np.zeros((h, w), np.float32)
+        full[: rows * bh, : cols * bw] = out.reshape(rows * bh, cols * bw)
+        return full[None]
+
+    @pytest.mark.parametrize("replica", [True, False])
+    def test_matches_host_reference(self, replica):
+        from online_lang_splatting_tpu.slam.camera import _grad_mask_device
+
+        g = np.random.default_rng(11)
+        img = g.uniform(0, 1, size=(3, 70, 66)).astype(np.float32)
+        got = np.asarray(_grad_mask_device(
+            jnp.asarray(img), replica, 32, 32, jnp.float32(1.1)))
+        ref = self._host_reference(img, 1.1, replica)
+        np.testing.assert_array_equal(got, ref)
