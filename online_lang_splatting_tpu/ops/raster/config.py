@@ -11,9 +11,20 @@ internally, so any tile size is supported with identical semantics.
 
 NUM_COLOR_CHANNELS = 3
 DEFAULT_LANGUAGE_CHANNELS = 15
-DEFAULT_TILE = 16  # TPU-preferred; set 15 to bit-match the reference engine.
 
 import os as _os
+
+# Blend tile edge in pixels. 16 is the TPU-preferred default (pixel block
+# = 2 sublane rows of 128 lanes); 15 bit-matches the reference engine.
+# Env-toggleable for hardware A/B: a LARGER tile (e.g. 32 -> 1024-lane
+# blocks) cuts the (Gaussian, tile) instance count — and with it the
+# binning sort, pack gather and grad scatter-add, the three biggest
+# instance-array costs at saturation — at the price of coarser dead-tail
+# granularity and 4x-larger per-segment VPU blocks. Tile size changes
+# which pixels a Gaussian can touch (rect-cull granularity, as in the
+# CUDA engines), so parity is always judged against the oracle at the
+# SAME tile.
+DEFAULT_TILE = int(_os.environ.get("OLS_TILE", "16"))
 
 # Instances per blend-kernel grid step; instance buckets are quantized to
 # 8 chunks (tiled.CHUNK re-exports this). Env-toggleable for hardware

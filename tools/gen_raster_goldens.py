@@ -22,8 +22,12 @@ from raster_fixtures import SCENES, render_scene  # noqa: E402
 
 
 def main():
-    out_dir = REPO / "tests" / "goldens"
-    out_dir.mkdir(exist_ok=True)
+    # Optional output dir (argv[1]): tile/semantics A/Bs regenerate into a
+    # scratch dir (with OLS_TILE etc. set) instead of overwriting the
+    # pinned anchor in tests/goldens/.
+    out_dir = Path(sys.argv[1]) if len(sys.argv) > 1 else (
+        REPO / "tests" / "goldens")
+    out_dir.mkdir(parents=True, exist_ok=True)
     for name, make in SCENES.items():
         golden = render_scene(make(), "oracle")
         np.savez_compressed(out_dir / f"{name}.npz", **golden)

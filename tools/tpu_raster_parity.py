@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--tol", type=float, default=1e-4)
     ap.add_argument("--grad-tol", type=float, default=2e-3)
+    ap.add_argument("--goldens", default=None,
+                    help="golden dir (default tests/goldens; point at a "
+                    "scratch dir for tile/semantics A/Bs)")
     args = ap.parse_args()
 
     import jax
@@ -42,7 +45,9 @@ def main():
     int_keys = {"radii", "n_touched", "n_contrib"}
     ok_all = True
     for name, make in SCENES.items():
-        golden = np.load(REPO / "tests" / "goldens" / f"{name}.npz")
+        gdir = Path(args.goldens) if args.goldens else (
+            REPO / "tests" / "goldens")
+        golden = np.load(gdir / f"{name}.npz")
         got = render_scene(make(), "tpu")
         worst = {}
         ok = True

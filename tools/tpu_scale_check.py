@@ -25,6 +25,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", type=int, required=True)
     ap.add_argument("--n", type=int, default=200_000)
+    ap.add_argument("--max-instances", type=int, default=None,
+                    help="instance bucket (default 1M = 8*2^17). Tile-size "
+                    "A/Bs must right-size this to the printed "
+                    "num_instances: a larger tile's whole win is a "
+                    "smaller instance array")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +52,8 @@ def main():
     settings = RasterSettings(
         image_height=h, image_width=w,
         tanfovx=w / (2 * fx), tanfovy=h / (2 * fy),
-        sh_degree=0, backend="tpu", max_instances=8 * cap,
+        sh_degree=0, backend="tpu",
+        max_instances=args.max_instances or 8 * cap,
     )
     proj = graphics.projection_matrix(0.01, 100.0, w / 2, h / 2, fx, fy, w, h)
     view = jnp.eye(4)
