@@ -32,7 +32,9 @@ from typing import Any, Optional
 import numpy as np
 
 from .orbit import OrbitCamera, draw_frustums
-from .viewer import GaussianPacket, _depth_colormap, _lang_pca
+from .viewer import (
+    GaussianPacket, _depth_colormap, _lang_pca, gt_thumbnail_strip,
+)
 
 
 @dataclasses.dataclass
@@ -234,6 +236,12 @@ class SLAM_GUI:
                 fx=fx, fy=fy, cx=w / 2.0, cy=h / 2.0,
                 tanfovx=st.tanfovx, tanfovy=st.tanfovy,
             )
+        # Ground-truth side thumbnails (gt color / depth / language),
+        # matching the reference packets' side panels
+        # (gui/gui_utils.py:77-147).
+        strip = gt_thumbnail_strip(pkt, img.shape[0])
+        if strip is not None:
+            img = np.concatenate([img, strip], axis=1)
         return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 
     def _pointcloud_view(self, xyz, rgb, pkt):

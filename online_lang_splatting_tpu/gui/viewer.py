@@ -64,6 +64,36 @@ def _lang_pca(lang: np.ndarray) -> np.ndarray:
     return np.clip((proj - lo) / np.maximum(hi - lo, 1e-9), 0, 1).reshape(h, w, 3)
 
 
+def _nn_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    ys = (np.arange(h) * img.shape[0] / h).astype(np.int64)
+    xs = (np.arange(w) * img.shape[1] / w).astype(np.int64)
+    return img[ys][:, xs]
+
+
+def gt_thumbnail_strip(pkt, height: int) -> np.ndarray | None:
+    """(height, w, 3) float strip of the packet's ground-truth thumbnails
+    (gt color / depth / language PCA, stacked vertically) — the side
+    panels the reference GaussianPacket ships to its viewer
+    (gui/gui_utils.py:77-147). Pure; returns None when the packet carries
+    no ground truth."""
+    thumbs = []
+    if pkt.gtcolor is not None:
+        thumbs.append(np.clip(
+            np.asarray(pkt.gtcolor).transpose(1, 2, 0), 0, 1))
+    if pkt.gtdepth is not None:
+        thumbs.append(_depth_colormap(np.asarray(pkt.gtdepth)))
+    if pkt.gtlanguage is not None:
+        thumbs.append(_lang_pca(np.asarray(pkt.gtlanguage)))
+    if not thumbs:
+        return None
+    th = height // len(thumbs)
+    tw = max(th * thumbs[0].shape[1] // max(thumbs[0].shape[0], 1), 8)
+    strip = np.zeros((height, tw, 3), np.float64)
+    for i, t in enumerate(thumbs):
+        strip[i * th:(i + 1) * th] = _nn_resize(t.astype(np.float64), th, tw)
+    return strip
+
+
 class HeadlessViewer:
     def __init__(self, out_dir: str, every: int = 10):
         self.out_dir = Path(out_dir)
@@ -116,6 +146,9 @@ class HeadlessViewer:
                         0, np.asarray(pkt.gtcolor).transpose(1, 2, 0)
                     )
                 mosaic = np.concatenate(panels, axis=1)
+                strip = gt_thumbnail_strip(pkt, mosaic.shape[0])
+                if strip is not None:
+                    mosaic = np.concatenate([mosaic, strip], axis=1)
                 Image.fromarray((mosaic * 255).astype(np.uint8)).save(
                     self.out_dir / f"frame_{pkt.frame_idx:05d}.png"
                 )

@@ -271,11 +271,17 @@ class SLAM:
             if self.viewer is not None:
                 from ..gui.viewer import GaussianPacket
 
+                # gt language thumbnail: the latest keyframe's cached
+                # supervision map (current frames have none — extraction
+                # runs per-KF), like the reference packets' gt_lang panel
+                # (gui/gui_utils.py:77-147).
+                kf_cam = be.viewpoints.get(last_kf)
+                gtlang = kf_cam.gt_lang_feat if kf_cam is not None else None
                 self.viewer.submit(GaussianPacket(
                     render_inputs=fe.render_inputs,
                     view=cam.world_view_transform, proj=self.proj,
                     settings=self.settings, gtcolor=cam.image,
-                    gtdepth=cam.depth, frame_idx=idx,
+                    gtdepth=cam.depth, gtlanguage=gtlang, frame_idx=idx,
                     keyframe_window=list(cur_window),
                     keyframe_poses=[
                         fe.cameras[k].world_view_transform

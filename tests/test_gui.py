@@ -129,3 +129,29 @@ def test_frustum_overlay_draws_visible_keyframes():
         img2, np.eye(4), [kf_behind], fx=60.0, fy=60.0, cx=32.0, cy=24.0,
         tanfovx=0.5, tanfovy=0.4,
     )
+
+
+def test_gt_thumbnail_strip():
+    """The packet's gt color/depth/language thumbnails render as a side
+    strip (reference GaussianPacket side panels, gui/gui_utils.py:77-147)."""
+    import numpy as np
+
+    from online_lang_splatting_tpu.gui.viewer import (
+        GaussianPacket, gt_thumbnail_strip,
+    )
+
+    rng = np.random.default_rng(0)
+    pkt = GaussianPacket(
+        gtcolor=rng.uniform(0, 1, (3, 24, 32)).astype(np.float32),
+        gtdepth=rng.uniform(0.5, 3.0, (24, 32)).astype(np.float32),
+        gtlanguage=rng.normal(size=(15, 12, 16)).astype(np.float32),
+    )
+    strip = gt_thumbnail_strip(pkt, 96)
+    assert strip.shape[0] == 96 and strip.shape[2] == 3
+    assert np.isfinite(strip).all() and strip.max() <= 1.0 + 1e-9
+    # All three thumbnails present: each third is non-constant.
+    for i in range(3):
+        sec = strip[i * 32:(i + 1) * 32]
+        assert sec.std() > 0
+
+    assert gt_thumbnail_strip(GaussianPacket(), 96) is None
