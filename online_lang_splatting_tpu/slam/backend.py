@@ -671,6 +671,8 @@ class BackEnd:
 
     def add_next_kf(self, kf_idx: int, cam: Camera, depthmap: np.ndarray,
                     init: bool = False):
+        dbg = _os.environ.get("OLS_CHUNK_TIMING")
+        t0 = time.time()
         self.viewpoints[kf_idx] = cam
         self.frame_size = (cam.height, cam.width)
         if self.frame_stack is None:
@@ -679,6 +681,9 @@ class BackEnd:
                 lang_hw=self.lang_hw,
             )
         self.frame_stack.add(kf_idx, cam.image, cam.depth)
+        if dbg:
+            t1 = time.time()
+            print(f"[add_kf] stack_add={t1 - t0:.2f}s", flush=True)
         if self.lang_train and cam.gt_lang_feat is not None:
             lf = jnp.asarray(cam.gt_lang_feat)
             if lf.shape == (self.lang_dim,) + self.lang_hw:
@@ -696,10 +701,17 @@ class BackEnd:
             jnp.asarray([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32),
             key, n_target,
         )
+        if dbg:
+            jax.block_until_ready(xyz)
+            t2 = time.time()
+            print(f"[add_kf] backproject={t2 - t1:.2f}s", flush=True)
         self.params, self.aux, self.opt, overflow = G.extend_points(
             self.params, self.aux, self.opt,
             xyz=xyz, rgb=rgb, valid=valid, kf_id=kf_idx, point_size=point_size,
         )
+        if dbg:
+            overflow = jax.block_until_ready(overflow)
+            print(f"[add_kf] extend={time.time() - t2:.2f}s", flush=True)
         if bool(overflow):
             self._grow_capacity()
             self.params, self.aux, self.opt, _ = G.extend_points(
@@ -876,7 +888,7 @@ class BackEnd:
         return (
             jnp.asarray(rows), jnp.asarray(valid),
             jnp.asarray(r), jnp.asarray(t), jnp.asarray(ea), jnp.asarray(eb),
-        )
+        ), (rows, valid)
 
     def _cadence_cfg(self, init_mode: bool) -> tuple:
         """Static densify/reset cadence config for in-chunk events
@@ -896,21 +908,27 @@ class BackEnd:
             float(self.op["percent_dense"]),
         )
 
-    def _run_chunk(self, window, staged_window, rand_pool, n: int,
-                   lang_run: bool, init_mode: bool, cadence: bool = True,
-                   n_live: int | None = None):
-        """Dispatch one device-resident chunk of n mapping iterations, with
-        overflow-redo (grow the instance pool / the Gaussian capacity and
-        REPLAY the chunk before committing — no truncated-gradient or
-        dropped-densify step is ever applied).
+    def _submit_chunk(self, window, staged_window, rand_pool, n: int,
+                      lang_run: bool, init_mode: bool, cadence: bool = True,
+                      n_live: int | None = None):
+        """Dispatch one device-resident chunk of n mapping iterations
+        WITHOUT waiting for it, and OPTIMISTICALLY advance the backend
+        state to the chunk's (device-future) outputs so the next chunk can
+        be submitted while this one executes — the remote relay charges
+        ~0.1-2 s of submission + fetch latency per dispatch, and a
+        sequential loop pays it serially between chunks.
+
+        Returns a ctx dict for `_finish_chunk`, which blocks on the
+        overflow flags and either commits the host-side bookkeeping or
+        (overflow) rolls back to the saved pre-chunk state refs, grows the
+        bucket/capacity, and replays — no truncated-gradient or
+        dropped-densify step is ever committed.
+
         `staged_window` is a list; its pose/exposure entries are refreshed
         in place with the chunk's outputs so the next chunk continues from
         the optimized window poses without a host round-trip."""
         n_slots = self._n_slots(init_mode)
-        (win_r, win_t, win_ea, win_eb, win_imgs, win_deps, win_langs,
-         win_valid, win_lang_on, pose_opt, exp_opt,
-         pose_opt_h, exp_opt_h) = staged_window
-        rand = self._stage_rand(rand_pool, self.iteration_count, n)
+        rand, rand_h = self._stage_rand(rand_pool, self.iteration_count, n)
         stack = self.frame_stack
         op = self.op
         lr_cfg = (
@@ -931,26 +949,77 @@ class BackEnd:
         # One key per chunk; per-event keys derive via fold_in(iteration),
         # so an overflow REPLAY reruns the identical key schedule.
         self.rng, base_key = jax.random.split(self.rng)
-        t_chunk0 = time.time()
+        ctx = dict(
+            window=window, staged=staged_window, n=n, n_live=n_live,
+            n_eff=n if n_live is None else n_live,
+            lang_run=lang_run, init_mode=init_mode, cadence=cadence,
+            n_slots=n_slots, rand=rand, rand_h=rand_h, fixed=fixed,
+            lr_cfg=lr_cfg, cad=cad, base_key=base_key,
+            stack_lang_on=stack_lang_on,
+            count0=self.iteration_count,
+            # Pre-chunk state refs: replay restarts from these.
+            state_in=(self.params, self.opt, self.aux,
+                      self.keyframe_optimizer_state),
+            win_in=tuple(staged_window[0:4]),
+            t0=time.time(),
+        )
+        out = self._dispatch_chunk(ctx, *ctx["state_in"], ctx["win_in"])
+        ctx["t_submitted"] = time.time()
+        ctx["out"] = out
+        self._advance_to(ctx, out)
+        return ctx
+
+    def _dispatch_chunk(self, ctx, params, opt, aux, kf_opt, win4):
+        """Build the arg tuple and dispatch the chunk program (async)."""
+        staged_window = ctx["staged"]
+        (_, _, _, _, win_imgs, win_deps, win_langs,
+         win_valid, win_lang_on, pose_opt, exp_opt,
+         _pose_opt_h, _exp_opt_h) = staged_window
+        stack = self.frame_stack
+        args = (
+            params, opt, aux, self.proj,
+            *win4,
+            win_imgs, win_deps, win_langs, win_valid, win_lang_on,
+            pose_opt, exp_opt,
+            *kf_opt,
+            stack.images, stack.depths, stack.langs, ctx["stack_lang_on"],
+            *ctx["rand"],
+            jnp.float32(ctx["count0"]),
+            ctx["fixed"], jnp.float32(self.lamda_lang),
+            ctx["base_key"],
+        )
+        fn = make_mapping_chunk(
+            self.settings, ctx["n_slots"], ctx["n"], ctx["init_mode"],
+            ctx["lr_cfg"], self.mesh, ctx["cad"]
+        )
+        n_live = ctx["n_live"]
+        return fn(
+            *args,
+            n_live=jnp.int32(n_live if n_live is not None else ctx["n"]),
+            events_on=jnp.bool_(ctx["cadence"]),
+        )
+
+    def _advance_to(self, ctx, out):
+        """Optimistically point the backend state + staged window at the
+        chunk's output refs (device futures — nothing blocks here)."""
+        staged_window = ctx["staged"]
+        (self.params, self.opt, self.aux, new_r, new_t, new_ea, new_eb,
+         self.keyframe_optimizer_state, _occ, _losses, _ovf,
+         _cap_ovf, _demand) = out
+        staged_window[0], staged_window[1] = new_r, new_t
+        staged_window[2], staged_window[3] = new_ea, new_eb
+        self.iteration_count = ctx["count0"] + ctx["n_eff"]
+
+    def _finish_chunk(self, ctx) -> bool:
+        """Block on a submitted chunk's flags, replay on overflow, commit
+        host bookkeeping. Returns True if a replay occurred (the state
+        lineage changed: any chunk submitted AFTER ctx consumed discarded
+        outputs and must itself be rolled back and resubmitted)."""
+        dbg = _os.environ.get("OLS_CHUNK_TIMING")
+        out = ctx["out"]
+        replayed = False
         for _attempt in range(4):
-            args = (
-                self.params, self.opt, self.aux, self.proj,
-                win_r, win_t, win_ea, win_eb,
-                win_imgs, win_deps, win_langs, win_valid, win_lang_on,
-                pose_opt, exp_opt,
-                *self.keyframe_optimizer_state,
-                stack.images, stack.depths, stack.langs, stack_lang_on,
-                *rand,
-                jnp.float32(self.iteration_count),
-                fixed, jnp.float32(self.lamda_lang),
-                base_key,
-            )
-            fn = make_mapping_chunk(
-                self.settings, n_slots, n, init_mode, lr_cfg, self.mesh, cad
-            )
-            out = fn(*args, n_live=jnp.int32(n_live if n_live is not None
-                                             else n),
-                     events_on=jnp.bool_(cadence))
+            t_w0 = time.time()
             # ONE batched host transfer for everything the host needs from
             # the chunk (overflow flags, window poses/exposures, occ
             # visibility): each separate fetch pays a full tunnel round
@@ -960,6 +1029,12 @@ class BackEnd:
                 (out[10], out[11], out[12], out[3], out[4], out[5],
                  out[6], out[8])
             )
+            if dbg:
+                print(
+                    f"[chunk] wait_fetch={time.time() - t_w0:.2f}s "
+                    f"(since submit {time.time() - ctx['t_submitted']:.2f}s)",
+                    flush=True,
+                )
             grew = False
             if bool(ovf_h):
                 # Demand-sized growth: the chunk reports its exact peak
@@ -978,14 +1053,28 @@ class BackEnd:
                       f"{self.settings.max_instances}; replaying chunk")
             if bool(cap_ovf_h):
                 # In-chunk densify ran out of free Gaussian slots: grow the
-                # capacity bucket (pre-chunk state — nothing committed yet)
-                # and replay so no clone/split candidate is ever dropped.
-                self._grow_capacity()
+                # capacity bucket and replay so no clone/split candidate is
+                # ever dropped. Growth must compact the SAVED pre-chunk
+                # state — self.* currently hold the optimistic (discarded)
+                # chunk outputs.
+                params0, opt0, aux0, kf0 = ctx["state_in"]
+                new_cap = self.cap * 2
+                params0, aux0, opt0, _n = G.compact(
+                    params0, aux0, opt0, new_cap
+                )
+                self.cap = new_cap
+                ctx["state_in"] = (params0, opt0, aux0, kf0)
                 grew = True
                 print(f"[backend] gaussian capacity grown to {self.cap}; "
                       "replaying chunk")
             if not grew:
                 break
+            # Replay from the saved pre-chunk state with the SAME base_key
+            # (identical event-key schedule).
+            replayed = True
+            out = self._dispatch_chunk(ctx, *ctx["state_in"], ctx["win_in"])
+            ctx["out"] = out
+            self._advance_to(ctx, out)
         else:
             if bool(ovf_h) or bool(cap_ovf_h):
                 import warnings
@@ -997,29 +1086,25 @@ class BackEnd:
                     "committing truncated result — map quality may degrade.",
                     RuntimeWarning,
                 )
-        n_eff = n if n_live is None else n_live
-        if _os.environ.get("OLS_CHUNK_TIMING"):
+        if dbg:
             print(
-                f"[chunk] n={n} live={n_eff} init={init_mode} "
+                f"[chunk] n={ctx['n']} live={ctx['n_eff']} "
+                f"init={ctx['init_mode']} "
                 f"bucket={self.settings.max_instances} cap={self.cap} "
-                f"dt={time.time() - t_chunk0:.2f}s", flush=True,
+                f"dt={time.time() - ctx['t0']:.2f}s", flush=True,
             )
-        (self.params, self.opt, self.aux, new_r, new_t, new_ea, new_eb,
-         self.keyframe_optimizer_state, occ_vis, losses, _ovf,
-         _cap_ovf, _demand) = out
-        count0 = self.iteration_count
-        self.iteration_count += n_eff
-        staged_window[0], staged_window[1] = new_r, new_t
-        staged_window[2], staged_window[3] = new_ea, new_eb
+        window = ctx["window"]
         t_ae0 = time.time()
-        self._replay_online_ae(window, rand, count0, n_eff, lang_run,
-                               init_mode)
-        if _os.environ.get("OLS_CHUNK_TIMING"):
+        self._replay_online_ae(window, ctx["rand_h"], ctx["count0"],
+                               ctx["n_eff"], ctx["lang_run"],
+                               ctx["init_mode"])
+        if dbg:
             print(f"[chunk] ae_replay dt={time.time() - t_ae0:.2f}s",
                   flush=True)
 
         # Write back window poses/exposures (host copies from the batched
         # transfer above).
+        pose_opt_h, exp_opt_h = ctx["staged"][11], ctx["staged"][12]
         for i, idx in enumerate(window):
             cam = self.viewpoints[idx]
             if pose_opt_h[i]:
@@ -1029,9 +1114,20 @@ class BackEnd:
                 cam.exposure_b = float(new_eb_h[i])
         for i, idx in enumerate(window):
             self.occ_aware_visibility[idx] = occ_h[i]
-        return occ_h
+        return replayed
 
-    def _replay_online_ae(self, window, rand, count0: int, n: int,
+    def _run_chunk(self, window, staged_window, rand_pool, n: int,
+                   lang_run: bool, init_mode: bool, cadence: bool = True,
+                   n_live: int | None = None):
+        """Synchronous submit + finish (the prune iteration and other
+        single-chunk callers)."""
+        ctx = self._submit_chunk(
+            window, staged_window, rand_pool, n, lang_run, init_mode,
+            cadence=cadence, n_live=n_live,
+        )
+        self._finish_chunk(ctx)
+
+    def _replay_online_ae(self, window, rand_h, count0: int, n: int,
                           lang_run: bool, init_mode: bool):
         """Continuous two-stage online-AE training, replayed at chunk
         boundaries with the reference's exact step schedule
@@ -1057,8 +1153,10 @@ class BackEnd:
                     if it % 5 == 0 and it != 0:
                         rows_seq.append(r0)
         else:
-            rows_h = np.asarray(rand[0])
-            valid_h = np.asarray(rand[1])
+            # Host mirrors from _stage_rand — no device fetch (the rows
+            # originated on the host; np.asarray on the device copy paid a
+            # full tunnel round trip per chunk).
+            rows_h, valid_h = rand_h
             for j in range(n):
                 for k in range(rows_h.shape[1]):
                     r = int(rows_h[j, k])
@@ -1111,13 +1209,32 @@ class BackEnd:
         n_prog = (
             FrameStack.INIT_CHUNK if init_mode else FrameStack.MAP_CHUNK
         )
+        # Depth-2 pipeline: submit chunk N+1 BEFORE blocking on chunk N's
+        # flags, so the relay's per-dispatch submission + fetch latency
+        # overlaps on-device execution. Chunk N+1 chains on N's device-
+        # future outputs; the rare overflow replay invalidates the
+        # optimistic submission, which is rolled back and resubmitted.
+        pending = None
         while it_done < iters:
             n_live = min(n_prog, iters - it_done)
-            self._run_chunk(
+            ctx = self._submit_chunk(
                 window, staged, rand_pool, n_prog, lang_run, init_mode,
                 n_live=n_live,
             )
+            if pending is not None and self._finish_chunk(pending):
+                # pending replayed: ctx consumed discarded outputs — the
+                # replay's _advance_to already restored the state lineage
+                # (and the iteration count) to pending's replayed outputs;
+                # resubmit ctx from there with the same rand schedule.
+                self.iteration_count = ctx["count0"]
+                ctx = self._submit_chunk(
+                    window, staged, rand_pool, n_prog, lang_run, init_mode,
+                    n_live=n_live,
+                )
+            pending = ctx
             it_done += n_live
+        if pending is not None:
+            self._finish_chunk(pending)
         # Cadence events ran ON DEVICE inside the chunks; report whether any
         # densify iteration fell inside this call (host-deterministic).
         update_every = (

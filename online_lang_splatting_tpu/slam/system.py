@@ -320,7 +320,13 @@ class SLAM:
             fe.current_window = cur_window
             fe.kf_indices.append(idx)
             fe.occ_aware_visibility[idx] = visibility
+            import os as _os
+
+            t_kd = time.time()
             depthmap = fe.new_keyframe_depth(cam)
+            if _os.environ.get("OLS_CHUNK_TIMING"):
+                print(f"[kf] new_kf_depth={time.time() - t_kd:.2f}s",
+                      flush=True)
             be.viewpoints[idx] = cam
             be.current_window = cur_window
             be.add_next_kf(idx, cam, depthmap)

@@ -484,3 +484,25 @@ class TestPhaseConvTranspose:
             ),
             gr, gp,
         )
+
+    def test_bf16_activations_f32_params(self):
+        """Regression: bf16 activations x f32 params crashed the raw
+        lax.conv ("requires arguments to have the same dtypes") in the
+        round-4 hardware bench — the promote-then-conv path must accept
+        the mixed-precision extractor pipeline."""
+        from online_lang_splatting_tpu.models.hr_net import (
+            PhaseConvTranspose2x,
+        )
+
+        g = np.random.default_rng(7)
+        x = jnp.asarray(g.normal(size=(1, 6, 8, 4)), jnp.bfloat16)
+        kernel = jnp.asarray(g.normal(size=(4, 4, 3, 4)), jnp.float32)
+        bias = jnp.zeros((3,), jnp.float32)
+        variables = {"params": {"kernel": kernel, "bias": bias}}
+        out = jax.jit(PhaseConvTranspose2x(3).apply)(variables, x)
+        assert out.dtype == jnp.float32  # flax promotion semantics
+        assert out.shape == (1, 12, 16, 3)
+        # And the all-bf16 case (pre-cast trees) stays bf16.
+        vb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), variables)
+        outb = jax.jit(PhaseConvTranspose2x(3).apply)(vb, x)
+        assert outb.dtype == jnp.bfloat16

@@ -48,3 +48,26 @@ def test_snug_bucket_grows_and_run_completes():
     assert int(slam.backend.aux.active.sum()) > 50
     for cam in slam.frontend.cameras.values():
         assert np.isfinite(cam.t).all()
+
+
+def test_overflow_replay_mid_pipeline(monkeypatch):
+    """Overflow while a SECOND chunk is already in flight: the depth-2
+    pipelined map() loop (backend._submit_chunk/_finish_chunk) must roll
+    back the optimistic lineage, replay the overflowing chunk at the
+    grown bucket, and resubmit the in-flight chunk — multi-chunk calls
+    (iters > chunk length) with a snug bucket force that path."""
+    from online_lang_splatting_tpu.slam.backend import FrameStack
+
+    monkeypatch.setattr(FrameStack, "INIT_CHUNK", 4)
+    monkeypatch.setattr(FrameStack, "MAP_CHUNK", 4)
+    config = load_config("configs/synthetic/smoke.yaml")
+    config["max_instances_init"] = 256
+    config["Training"]["init_itr_num"] = 12   # 3 pipelined init chunks
+    config["Training"]["mapping_itr_num"] = 8  # 2 pipelined map chunks
+    config["Training"]["tracking_itr_num"] = 6
+    slam = SLAM(config)
+    slam.run(max_frames=4)
+    assert slam.backend.settings.max_instances > 256
+    assert int(slam.backend.aux.active.sum()) > 50
+    for cam in slam.frontend.cameras.values():
+        assert np.isfinite(cam.t).all()

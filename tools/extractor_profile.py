@@ -26,7 +26,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import numpy as np
 

@@ -4,7 +4,9 @@
 # bench at round end), then the multiseg Mosaic smoke, then the A/Bs
 # that decide default flips, then parity.
 set -u
-LOG=${1:-/tmp/hwq}
+# Fresh default dir per invocation: mixing runs' logs in one decision
+# dir lets hw_decide.py pick up stale verdicts (ADVICE r3).
+LOG=${1:-/tmp/hwq_r3c_$(date -u +%m%d%H%M)}
 mkdir -p "$LOG"
 cd "$(dirname "$0")/.."
 

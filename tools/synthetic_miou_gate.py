@@ -30,7 +30,12 @@ sys.path.insert(0, str(REPO))
 
 # Pinned smoke-scale results (CPU + TPU deterministic loop): stage 1
 # measured 0.367, stage 2 measured 0.522, localization 1.0.
+# Hardware replica scale (1200×680, 2-stage, 16 frames, real TPU,
+# 2026-08-19 /tmp/hwq_r4c/miou_replica.json): mIoU 0.882, localization
+# 1.0, AE round-trip cos 0.9975 — gate replica-scale runs with
+# `--min-miou 0.7` (regression lock under the measured 0.88).
 DEFAULT_MIN_MIOU = {1: 0.25, 2: 0.35}
+REPLICA_SCALE_MIN_MIOU = 0.7
 DEFAULT_MIN_LOC = 0.75
 
 
