@@ -83,12 +83,20 @@ class SLAM:
         max_inst = config.get(
             "max_instances_init", min(avg_dup * cap0, 1 << 18)
         )
+        # Production tile size: 32 wins the round-4 hardware A/B
+        # (demand-sized buckets, production occupancy: 31.2 ms fwd+bwd vs
+        # 46.8 ms at tile 16 — 3.1x fewer (Gaussian, tile) instances
+        # shrink binning/pack/scatter; /tmp/hwq_r4d steps 36-40, golden
+        # parity clean on hardware at tile 32). Tile 16 stays available
+        # per-config; the raster-level default (OLS_TILE) is unchanged so
+        # kernel-level tests/goldens keep their pinned semantics.
         self.settings = RasterSettings(
             image_height=height, image_width=width,
             tanfovx=tanfovx, tanfovy=tanfovy,
             sh_degree=config["model_params"]["sh_degree"],
             backend=config.get("raster_backend", "tpu"),
             max_instances=max_inst,
+            tile=int(config.get("raster_tile", 32)),
         )
         self.proj = camera_projection(
             Camera(
