@@ -18,6 +18,7 @@ general_utils.py:79-94).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple
 
@@ -241,7 +242,25 @@ def extend_points(
     """Keyframe extension: back-projected points become fresh Gaussians
     (reference extend_from_pcd_seq → create_pcd_from_image_and_depth:
     SH-DC from RGB, scale from 3-NN mean squared distance, identity
-    rotation, opacity 0.5, zero language code)."""
+    rotation, opacity 0.5, zero language code).
+
+    Jit-wrapped as ONE program: run eagerly, the blocked exact 3-NN
+    alone dispatches hundreds of small ops — ~26-36 s per keyframe
+    through the remote TPU relay (round-4 [add_kf] instrumentation).
+    kf_id/point_size ride as traced arrays so per-keyframe values don't
+    bake into per-keyframe recompiles (adaptive_pointsize changes
+    point_size every keyframe)."""
+    return _extend_points_jit(
+        params, aux, opt, xyz, rgb, valid,
+        jnp.asarray(kf_id, jnp.int32),
+        jnp.asarray(point_size, jnp.float32),
+        float(init_opacity),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(8,))
+def _extend_points_jit(params, aux, opt, xyz, rgb, valid, kf_id,
+                       point_size, init_opacity=0.5):
     m = xyz.shape[0]
     dist2 = jnp.maximum(knn_mean_sq_dist(xyz, valid), 1e-7) * point_size
     log_scale = jnp.log(jnp.sqrt(dist2))[:, None].repeat(3, axis=1)
@@ -252,7 +271,10 @@ def extend_points(
         features_rest=jnp.zeros((m, k_rest, 3), jnp.float32),
         scaling=log_scale,
         rotation=jnp.zeros((m, 4), jnp.float32).at[:, 0].set(1.0),
-        opacity=jnp.full((m, 1), float(inverse_sigmoid(jnp.asarray(init_opacity)))),
+        opacity=jnp.full(
+            (m, 1), math.log(init_opacity / (1.0 - init_opacity)),
+            jnp.float32,
+        ),
         language=jnp.zeros((m, params.language.shape[1]), jnp.float32),
     )
     slots, ok = _alloc_slots(aux.active, valid, m)

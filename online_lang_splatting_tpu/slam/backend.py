@@ -927,8 +927,11 @@ class BackEnd:
         `staged_window` is a list; its pose/exposure entries are refreshed
         in place with the chunk's outputs so the next chunk continues from
         the optimized window poses without a host round-trip."""
+        dbg = _os.environ.get("OLS_CHUNK_TIMING")
+        t_s0 = time.time()
         n_slots = self._n_slots(init_mode)
         rand, rand_h = self._stage_rand(rand_pool, self.iteration_count, n)
+        t_s1 = time.time()
         stack = self.frame_stack
         op = self.op
         lr_cfg = (
@@ -963,8 +966,15 @@ class BackEnd:
             win_in=tuple(staged_window[0:4]),
             t0=time.time(),
         )
+        t_s2 = time.time()
         out = self._dispatch_chunk(ctx, *ctx["state_in"], ctx["win_in"])
         ctx["t_submitted"] = time.time()
+        if dbg:
+            print(
+                f"[submit] stage={t_s1 - t_s0:.2f}s prep={t_s2 - t_s1:.2f}s "
+                f"dispatch={ctx['t_submitted'] - t_s2:.2f}s",
+                flush=True,
+            )
         ctx["out"] = out
         self._advance_to(ctx, out)
         return ctx

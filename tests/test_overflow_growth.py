@@ -33,7 +33,10 @@ def test_grow_bucket_demand_sized():
 
 def test_snug_bucket_grows_and_run_completes():
     config = load_config("configs/synthetic/smoke.yaml")
-    # Force overflow: the scene needs thousands of instances.
+    # Force overflow: the scene needs thousands of instances at tile 16
+    # (at the production tile 32 this 96x64 scene is only 3x2 tiles and
+    # fits the snug bucket, so nothing would grow).
+    config["raster_tile"] = 16
     config["max_instances_init"] = 256
     config["Training"]["init_itr_num"] = 8
     config["Training"]["mapping_itr_num"] = 3
@@ -61,6 +64,7 @@ def test_overflow_replay_mid_pipeline(monkeypatch):
     monkeypatch.setattr(FrameStack, "INIT_CHUNK", 4)
     monkeypatch.setattr(FrameStack, "MAP_CHUNK", 4)
     config = load_config("configs/synthetic/smoke.yaml")
+    config["raster_tile"] = 16   # see test_snug_bucket_grows_and_run_completes
     config["max_instances_init"] = 256
     config["Training"]["init_itr_num"] = 12   # 3 pipelined init chunks
     config["Training"]["mapping_itr_num"] = 8  # 2 pipelined map chunks

@@ -37,13 +37,18 @@ import numpy as np
 
 def _med_time(fn, args, iters):
     """Median seconds/call: per-call scalar fetch forces completion; the
-    null round-trip (same fetch of a trivial program) is subtracted."""
+    null round-trip (same fetch of a trivial program) is subtracted.
+
+    Weight trees MUST ride in `args`, never in a closure: a closed-over
+    tree is baked into the HLO as constants, and ConvNeXt-L's ~200M
+    params blow the remote relay's request-body limit (HTTP 413 —
+    observed in /tmp/hwq_r4e/54)."""
     import jax
     import jax.numpy as jnp
 
     run = jax.jit(lambda *a: jnp.sum(fn(*a)))
     null = jax.jit(lambda x: jnp.sum(x) * 0.0 + 1.0)
-    probe = args[0]
+    probe = jnp.zeros((8,), jnp.float32)
     _ = float(run(*args))  # compile
     _ = float(null(probe))
     ts, rtts = [], []
@@ -103,13 +108,13 @@ def main() -> int:
 
     # Trunk: stem + stages only (head excluded via res5 output).
     report("trunk", _med_time(
-        lambda x: ex.visual.apply({"params": ex.visual_params}, x)["res5"],
-        (x768,), args.iters), flops=809e9)
+        lambda p, x: ex.visual.apply({"params": p}, x)["res5"],
+        (ex.visual_params, x768), args.iters), flops=809e9)
 
     report("head", _med_time(
-        lambda x: ex.visual.apply(
-            {"params": ex.visual_params}, x)["clip_vis_dense"],
-        (x768,), args.iters))
+        lambda p, x: ex.visual.apply(
+            {"params": p}, x)["clip_vis_dense"],
+        (ex.visual_params, x768), args.iters))
 
     hr_in = (feats["clip_vis_dense"], feats["res3"], feats["res2"])
     # Reuse ex's weight trees: re-initializing ConvNeXt-L per variant
@@ -121,9 +126,8 @@ def main() -> int:
         os.environ["OLS_HR_CONVT"] = mode
         hr_ex = LangFeatureExtractor(compute_dtype=jnp.bfloat16, **trees)
         report(f"hr_{mode}", _med_time(
-            lambda a, b, c, _e=hr_ex: _e.hr.apply(
-                _e.hr_variables, a, b, c),
-            hr_in, args.iters), flops=103e9)
+            lambda v, a, b, c, _e=hr_ex: _e.hr.apply(v, a, b, c),
+            (hr_ex.hr_variables,) + hr_in, args.iters), flops=103e9)
 
     os.environ["OLS_HR_CONVT"] = "xla"
     hr_out = jax.block_until_ready(
@@ -131,18 +135,18 @@ def main() -> int:
     from online_lang_splatting_tpu.models.autoencoder import AutoencoderMLP
 
     report("ae", _med_time(
-        lambda h, _e=ex: _e.ae.apply(
-            _e.ae_variables, h.reshape(-1, h.shape[-1]),
+        lambda v, h, _e=ex: _e.ae.apply(
+            v, h.reshape(-1, h.shape[-1]),
             method=AutoencoderMLP.encode),
-        (hr_out,), args.iters), flops=29e9)
+        (ex.ae_variables, hr_out), args.iters), flops=29e9)
 
     for mode in ("xla", "phase"):
         os.environ["OLS_HR_CONVT"] = mode
         f_ex = LangFeatureExtractor(compute_dtype=jnp.bfloat16, **trees)
         secs = _med_time(
-            lambda f, _e=f_ex: _e._encode_frame(
-                _e.visual_params, _e.hr_variables, _e.ae_variables, f),
-            (frame,), args.iters)
+            lambda vp, hv, av, f, _e=f_ex: _e._encode_frame(vp, hv, av, f),
+            (f_ex.visual_params, f_ex.hr_variables, f_ex.ae_variables,
+             frame), args.iters)
         report(f"full_{mode}", secs, flops=940e9)
         print(f"  -> {1.0 / secs:6.1f} FPS single-stream")
 
