@@ -100,19 +100,40 @@ def _measure(q):
     out = jax.block_until_ready(run(frames[0]))  # compile single-frame path
     assert out.shape == (192, 192, 15), out.shape
 
-    # Throughput: dispatch N distinct frames asynchronously, then combine
-    # all outputs with one small jitted reduction whose scalar is fetched
-    # to host — forcing real completion of every frame. (Bare
-    # block_until_ready has proven unreliable under the remote-execution
-    # runtime; per-frame eager reductions would each pay a round trip.)
-    combine = jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))
-    _ = float(combine([out] * len(frames)))  # compile combiner
+    # Throughput: ONE dispatch scans all N distinct device-resident frames
+    # on-chip (lax.map over a stacked batch) and returns a single scalar
+    # that data-depends on every output — real completion is forced by the
+    # scalar fetch, and the remote relay's per-dispatch overhead (~3 ms/
+    # frame when dispatching frames separately — measured r4f: 56.75 FPS
+    # dispatched vs 69.6 FPS on-chip) is paid once, not per frame. Params
+    # ride as jit args (closure constants blow the relay body limit,
+    # HTTP 413).
+    stack = jnp.stack(frames)  # (N, 680, 1200, 3), device-resident
+
+    @jax.jit
+    def run_all(vp, hv, av, fs):
+        outs = jax.lax.map(
+            lambda f: extractor._encode_frame(vp, hv, av, f), fs
+        )
+        return jnp.sum(outs.astype(jnp.float32))
+
+    args = (extractor.visual_params, extractor.hr_variables,
+            extractor.ae_variables, stack)
+    _ = float(run_all(*args))  # compile scanned program
+    null = jax.jit(lambda x: jnp.sum(x) * 0.0 + 1.0)
+    probe = jnp.zeros((8,), jnp.float32)
+    _ = float(null(probe))
 
     n = len(frames)  # all-distinct inputs defeat any result caching
-    t0 = time.time()
-    outs = [run(f) for f in frames]
-    _ = float(combine(outs))
-    dt = (time.time() - t0) / n
+    ts, rtt0 = [], []
+    for _i in range(5):
+        t0 = time.time()
+        _ = float(run_all(*args))
+        ts.append(time.time() - t0)
+        t0 = time.time()
+        _ = float(null(probe))
+        rtt0.append(time.time() - t0)
+    dt = max(float(np.median(ts) - np.median(rtt0)), 1e-6) / n
 
     # Single-frame LATENCY (what SLAM's per-keyframe extraction pays,
     # backend.py ensure_lang_features): dispatch ONE frame through the

@@ -16,6 +16,7 @@ checkpoint via tools/convert_weights.py.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
@@ -32,8 +33,16 @@ CLIP_PIXEL_MEAN = (122.7709383, 116.7460125, 104.09373615)
 CLIP_PIXEL_STD = (68.5005327, 66.6321579, 70.3231630)
 
 
+# OLS_GELU=tanh swaps the exact erf GELU for the tanh approximation
+# throughout the tower — a VPU-time A/B knob (the erf lowering costs real
+# transcendental time at 768² activation volumes). Default stays the
+# reference-exact erf; flipping requires a measured win AND a cosine
+# parity check (tests/test_language_models.py::test_gelu_tanh_parity).
+_GELU_TANH = os.environ.get("OLS_GELU", "erf") == "tanh"
+
+
 def _gelu(x):
-    return jax.nn.gelu(x, approximate=False)
+    return jax.nn.gelu(x, approximate=_GELU_TANH)
 
 
 class LayerNorm(nn.Module):

@@ -506,3 +506,35 @@ class TestPhaseConvTranspose:
         vb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), variables)
         outb = jax.jit(PhaseConvTranspose2x(3).apply)(vb, x)
         assert outb.dtype == jnp.bfloat16
+
+
+class TestGELUKnob:
+    def test_gelu_tanh_parity(self):
+        """OLS_GELU=tanh (VPU-time A/B knob) must stay within the bf16
+        tower's own noise floor: full-tower cosine >= 0.9999 and the
+        activation function itself within 2e-3 absolute of exact erf."""
+        import online_lang_splatting_tpu.models.convnext_clip as cc
+
+        x = jnp.linspace(-6.0, 6.0, 4001, dtype=jnp.float32)
+        a = np.asarray(jax.nn.gelu(x, approximate=False))
+        b = np.asarray(jax.nn.gelu(x, approximate=True))
+        assert np.abs(a - b).max() < 2e-3
+
+        tower = cc.ConvNeXtCLIPVisual(depths=(2, 2, 2, 2),
+                                      dims=(16, 32, 64, 128), embed_dim=32)
+        g = np.random.default_rng(3)
+        img = jnp.asarray(g.normal(size=(1, 64, 64, 3)), jnp.float32)
+        params = tower.init(jax.random.key(0), img)["params"]
+        old = cc._GELU_TANH
+        try:
+            cc._GELU_TANH = False
+            ref = np.asarray(tower.apply({"params": params}, img)[
+                "clip_vis_dense"]).ravel()
+            cc._GELU_TANH = True
+            tanh = np.asarray(tower.apply({"params": params}, img)[
+                "clip_vis_dense"]).ravel()
+        finally:
+            cc._GELU_TANH = old
+        cos = float(np.dot(ref, tanh)
+                    / (np.linalg.norm(ref) * np.linalg.norm(tanh) + 1e-12))
+        assert cos >= 0.9999, cos

@@ -19,13 +19,15 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 # Pinned quality gates for the synthetic replica-scale scene: REGRESSION
-# LOCKS against the measured round-3 healthy run (40 frames, reference
-# budgets: PSNR 11.12, ATE 0.0083, lang_l1 0.0005 — PERF.md), not quality
+# LOCKS against the measured healthy runs (40 frames, reference budgets;
+# the loop is deterministic — round-4 tile-32 runs all reproduce
+# PSNR 11.41, ATE 0.0077, lang_l1 0.0005 exactly, PERF.md), not quality
 # claims. PSNR on this scene is coverage-limited: non-keyframe eval views
 # see orbit-edge regions no keyframe observed, which render background.
-GATE_PSNR = 10.0       # rendered non-KF frames vs gt
-GATE_ATE = 0.02        # m, keyframe ATE RMSE (scene scale ~5 m)
-GATE_LANG_L1 = 0.005   # rendered language map L1 vs supervision cache
+# Tightened r4 (was 10.0 / 0.02 / 0.005) to lock the achieved level.
+GATE_PSNR = 11.0       # rendered non-KF frames vs gt
+GATE_ATE = 0.012       # m, keyframe ATE RMSE (scene scale ~5 m)
+GATE_LANG_L1 = 0.001   # rendered language map L1 vs supervision cache
 
 
 def main():

@@ -85,7 +85,9 @@ def main() -> int:
         cin = DIMS[max(i - 1, 0)]
         x = jax.random.normal(key, (1, s, s, cin), dt)
         stage = ConvNeXtStage(dim, depth, downsample=i > 0)
-        params = stage.init(key, x)["params"]
+        # init in f32 (bf16 tracing promotes the residual add to f32 and
+        # breaks the nn.scan carry), then cast — same recipe as the tower.
+        params = stage.init(key, x.astype(jnp.float32))["params"]
         params = jax.tree.map(lambda v: v.astype(dt), params)
         so = sizes[i + 1]
         fl = depth * (
@@ -137,7 +139,7 @@ def main() -> int:
     }
     mlp_fl = 2 * s * s * dim * 4 * dim * 2
     for name, mod in variants.items():
-        params = mod.init(key, x)["params"]
+        params = mod.init(key, x.astype(jnp.float32))["params"]
         params = jax.tree.map(lambda v: v.astype(dt), params)
         report(name, _med_time(
             lambda p_, x_, _m=mod: _m.apply({"params": p_}, x_),
