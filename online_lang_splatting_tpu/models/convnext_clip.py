@@ -40,6 +40,14 @@ CLIP_PIXEL_STD = (68.5005327, 66.6321579, 70.3231630)
 # parity check (tests/test_language_models.py::test_gelu_tanh_parity).
 _GELU_TANH = os.environ.get("OLS_GELU", "erf") == "tanh"
 
+# OLS_STEM=s2d computes the 4×4/stride-4 patchify stem as space-to-depth
+# + ONE 48→192 matmul instead of XLA's convolution lowering (which runs
+# at ~1 TFLOP/s on this shape — trunk_bisect, hwq_r4h). The contraction
+# is mathematically identical (stride == kernel, VALID padding ⇒ each
+# output location sees one disjoint 4×4×3 patch); only the summation
+# order differs.
+STEM_MODE = os.environ.get("OLS_STEM", "conv")
+
 
 def _gelu(x):
     return jax.nn.gelu(x, approximate=_GELU_TANH)
@@ -101,6 +109,39 @@ class ConvNeXtStage(nn.Module):
         return x
 
 
+class _StemConv(nn.Module):
+    """4×4/stride-4 VALID patchify conv, parameter-compatible with
+    `nn.Conv` (kernel (4, 4, 3, dim) + bias). mode="s2d" reshapes the
+    input into disjoint 4×4 patches and runs one (H/4·W/4, 48)·(48, dim)
+    matmul — value-identical to the convolution, MXU-friendly lowering."""
+
+    dim: int
+    mode: str = "conv"
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (4, 4, x.shape[-1], self.dim)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        # flax promote_dtype semantics: inputs and params meet at the
+        # promoted dtype (bf16 input + f32 params → f32, not a downcast).
+        dt = jnp.promote_types(x.dtype, kernel.dtype)
+        x = x.astype(dt)
+        kernel = kernel.astype(dt)
+        bias = bias.astype(dt)
+        if self.mode == "s2d":
+            n, h, w, c = x.shape
+            assert h % 4 == 0 and w % 4 == 0, (h, w)
+            xp = x.reshape(n, h // 4, 4, w // 4, 4, c)
+            xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 4, w // 4, 16 * c)
+            return xp @ kernel.reshape(16 * c, self.dim) + bias
+        return jax.lax.conv_general_dilated(
+            x, kernel, (4, 4), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+
+
 class ConvNeXtCLIPVisual(nn.Module):
     """Dense visual tower. Input: (N, H, W, 3), already normalized.
 
@@ -112,11 +153,12 @@ class ConvNeXtCLIPVisual(nn.Module):
     depths: Sequence[int] = DEPTHS
     dims: Sequence[int] = DIMS
     embed_dim: int = EMBED_DIM
+    stem_mode: str = STEM_MODE
 
     @nn.compact
     def __call__(self, x):
         out = {}
-        x = nn.Conv(self.dims[0], (4, 4), strides=4, padding="VALID", name="stem_conv")(x)
+        x = _StemConv(self.dims[0], self.stem_mode, name="stem_conv")(x)
         x = nn.LayerNorm(epsilon=1e-6, name="stem_norm")(x)
         out["stem"] = x
         for i, (dim, depth) in enumerate(zip(self.dims, self.depths)):

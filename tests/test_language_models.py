@@ -538,3 +538,49 @@ class TestGELUKnob:
         cos = float(np.dot(ref, tanh)
                     / (np.linalg.norm(ref) * np.linalg.norm(tanh) + 1e-12))
         assert cos >= 0.9999, cos
+
+
+class TestStemKnob:
+    def test_stem_s2d_matches_conv(self):
+        """OLS_STEM=s2d (space-to-depth + matmul stem) is the SAME
+        contraction as the 4×4/s4 VALID conv — parity to reassociation
+        rounding, with identical parameter shapes/paths."""
+        import online_lang_splatting_tpu.models.convnext_clip as cc
+
+        g = np.random.default_rng(7)
+        img = jnp.asarray(g.normal(size=(2, 64, 64, 3)), jnp.float32)
+        conv_tower = cc.ConvNeXtCLIPVisual(
+            depths=(2, 2, 2, 2), dims=(16, 32, 64, 128), embed_dim=32,
+            stem_mode="conv",
+        )
+        params = conv_tower.init(jax.random.key(1), img)["params"]
+        assert params["stem_conv"]["kernel"].shape == (4, 4, 3, 16)
+        s2d_tower = cc.ConvNeXtCLIPVisual(
+            depths=(2, 2, 2, 2), dims=(16, 32, 64, 128), embed_dim=32,
+            stem_mode="s2d",
+        )
+        # Same params apply to both modes (checkpoint compatibility).
+        ref = np.asarray(
+            conv_tower.apply({"params": params}, img)["clip_vis_dense"])
+        alt = np.asarray(
+            s2d_tower.apply({"params": params}, img)["clip_vis_dense"])
+        np.testing.assert_allclose(alt, ref, rtol=2e-4, atol=2e-5)
+        # Stem output itself is near-exact (one matmul vs one conv).
+        rs = np.asarray(conv_tower.apply({"params": params}, img)["stem"])
+        as_ = np.asarray(s2d_tower.apply({"params": params}, img)["stem"])
+        np.testing.assert_allclose(as_, rs, rtol=1e-5, atol=1e-6)
+
+    def test_stem_s2d_bf16(self):
+        """bf16 params + bf16 input (the production pre-cast tree) runs
+        and stays bf16 through the s2d stem."""
+        import online_lang_splatting_tpu.models.convnext_clip as cc
+
+        stem = cc._StemConv(16, mode="s2d")
+        x = jnp.ones((1, 16, 16, 3), jnp.bfloat16)
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16),
+            stem.init(jax.random.key(0), x)["params"],
+        )
+        out = jax.jit(stem.apply)({"params": params}, x)
+        assert out.dtype == jnp.bfloat16
+        assert out.shape == (1, 4, 4, 16)

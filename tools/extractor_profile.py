@@ -86,7 +86,10 @@ def main() -> int:
     def report(name, secs, flops=None):
         results[name] = secs * 1e3
         line = f"{name:<12} {secs * 1e3:8.2f} ms"
-        if flops:
+        # secs can clamp to 0.0 when the stage is faster than the
+        # null-RTT median (seen on the AE stage, hwq_r4h) — skip the
+        # rate rather than dividing by zero.
+        if flops and secs > 0:
             line += f"   {flops / secs / 1e12:6.1f} TFLOP/s"
         print(line, flush=True)
 
@@ -148,7 +151,8 @@ def main() -> int:
             (f_ex.visual_params, f_ex.hr_variables, f_ex.ae_variables,
              frame), args.iters)
         report(f"full_{mode}", secs, flops=940e9)
-        print(f"  -> {1.0 / secs:6.1f} FPS single-stream")
+        if secs > 0:
+            print(f"  -> {1.0 / secs:6.1f} FPS single-stream")
 
     if args.json:
         with open(args.json, "w") as f:

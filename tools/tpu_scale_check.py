@@ -30,6 +30,9 @@ def main():
                     "A/Bs must right-size this to the printed "
                     "num_instances: a larger tile's whole win is a "
                     "smaller instance array")
+    ap.add_argument("--tile", type=int, default=None,
+                    help="raster tile (default OLS_TILE=16; the SLAM "
+                    "production default is 32)")
     args = ap.parse_args()
 
     import jax
@@ -54,6 +57,7 @@ def main():
         tanfovx=w / (2 * fx), tanfovy=h / (2 * fy),
         sh_degree=0, backend="tpu",
         max_instances=args.max_instances or 8 * cap,
+        **({"tile": args.tile} if args.tile else {}),
     )
     proj = graphics.projection_matrix(0.01, 100.0, w / 2, h / 2, fx, fy, w, h)
     view = jnp.eye(4)
@@ -134,6 +138,76 @@ def main():
         print(f"  num_instances: {int(binning.num_instances)}")
         timeit("pack+blend fwd (+assembly)", fwd_fn, prep, lang)
         timeit("full fwd+bwd", bwd_fn, means, opac, scales, lang)
+        return 0
+
+    if args.stage == 9:
+        # Tracking-iteration probe: the frontend's production whole-frame
+        # dispatch body (render fwd+bwd with language dropped + stats off,
+        # pose/exposure Adam, SE(3) retraction) timed per iteration, vs
+        # the bare pose-grad render fwd+bwd to isolate the optimizer/loss
+        # share. Production regime: --n 15000 --tile 32 --max-instances
+        # <demand-sized> (PERF.md tile-size table).
+        from online_lang_splatting_tpu.slam import losses as L
+        from online_lang_splatting_tpu.slam.frontend import tracking_run
+        from online_lang_splatting_tpu.slam.renderer import (
+            RenderInputs, render as slam_render,
+        )
+
+        inputs = RenderInputs(
+            xyz=means, opacity=opac, scales=scales,
+            quats=quats / jnp.linalg.norm(quats, axis=-1, keepdims=True),
+            shs=shs, language=lang,
+        )
+        gt_img = jnp.asarray(rng.uniform(size=(3, h, w)), jnp.float32)
+        gt_dep = jnp.full((1, h, w), 3.0, jnp.float32)
+        mask = jnp.ones((1, h, w), jnp.float32)
+        lrs3 = (jnp.float32(1e-3), jnp.float32(3e-3), jnp.float32(0.01))
+        k_iters = 16
+
+        def whole(view0):
+            return tracking_run(
+                inputs, view0, proj, gt_img, gt_dep, mask,
+                jnp.float32(0.0), jnp.float32(0.0), lrs3,
+                settings=settings, max_iters=k_iters,
+            )
+
+        out = whole(view)
+        jax.block_until_ready(out)
+        for _ in range(3):
+            t0 = time.time()
+            out = whole(view)
+            # Force the loop AND the final render (CLAUDE.md: fetch
+            # scalars that data-depend on the outputs).
+            n_it, med = jax.device_get((out[3], out[5]))
+            n_it = int(n_it)
+            dt = time.time() - t0
+            print(f"  tracking dispatch ({n_it} iters + final render): "
+                  f"{1e3 * dt:.1f} ms = {1e3 * dt / max(n_it, 1):.1f} ms/iter")
+
+        # Bare render fwd+bwd with pose grads (the loop body minus Adam).
+        track_inputs = inputs._replace(language=jnp.zeros((n, 0), jnp.float32))
+        loop_settings = settings._replace(stats=False)
+
+        def pose_loss(rho, theta):
+            o = slam_render(
+                track_inputs, view, proj, loop_settings,
+                cam_trans_delta=rho, cam_rot_delta=theta,
+            )
+            return L.loss_tracking_rgbd(
+                o.color, o.depth, o.opacity, gt_img, gt_dep, mask,
+                jnp.float32(0.0), jnp.float32(0.0),
+            )
+
+        z3 = jnp.zeros(3, jnp.float32)
+        gfn = jax.jit(jax.value_and_grad(pose_loss, argnums=(0, 1)))
+        r = jax.block_until_ready(gfn(z3, z3))
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(5):
+                r = gfn(z3, z3)
+            jax.block_until_ready(r)
+            print(f"  bare pose-grad render fwd+bwd: "
+                  f"{1e3 * (time.time() - t0) / 5:.1f} ms")
         return 0
 
     if args.stage in (1, 2):
