@@ -33,12 +33,16 @@ CLIP_PIXEL_MEAN = (122.7709383, 116.7460125, 104.09373615)
 CLIP_PIXEL_STD = (68.5005327, 66.6321579, 70.3231630)
 
 
-# OLS_GELU=tanh swaps the exact erf GELU for the tanh approximation
-# throughout the tower — a VPU-time A/B knob (the erf lowering costs real
-# transcendental time at 768² activation volumes). Default stays the
-# reference-exact erf; flipping requires a measured win AND a cosine
-# parity check (tests/test_language_models.py::test_gelu_tanh_parity).
-_GELU_TANH = os.environ.get("OLS_GELU", "erf") == "tanh"
+# OLS_GELU picks the tower's GELU: "tanh" (default) or "erf" (the
+# reference-exact form). The erf lowering costs real transcendental VPU
+# time at 768² activation volumes: trunk 13.61 ms erf vs 10.02 ms tanh,
+# and the FUSED extractor 67.17 → 90.73 FPS (v5e, hwq_r4h) — tanh is the
+# production default. Accuracy envelope: full-tower cosine vs erf pinned
+# >= 0.9999 (tests/test_language_models.py::TestGELUKnob), well inside
+# the bf16/fp16 envelope the reference itself evaluates in
+# (eval/openclip_encoder.py precision="fp16"). Torch-oracle parity sites
+# construct towers with gelu_mode="erf" explicitly.
+GELU_MODE = os.environ.get("OLS_GELU", "tanh")
 
 # OLS_STEM=s2d computes the 4×4/stride-4 patchify stem as space-to-depth
 # + ONE 48→192 matmul instead of XLA's convolution lowering (which runs
@@ -49,8 +53,8 @@ _GELU_TANH = os.environ.get("OLS_GELU", "erf") == "tanh"
 STEM_MODE = os.environ.get("OLS_STEM", "conv")
 
 
-def _gelu(x):
-    return jax.nn.gelu(x, approximate=_GELU_TANH)
+def _gelu(x, mode: str = "erf"):
+    return jax.nn.gelu(x, approximate=(mode == "tanh"))
 
 
 class LayerNorm(nn.Module):
@@ -63,6 +67,7 @@ class LayerNorm(nn.Module):
 
 class ConvNeXtBlock(nn.Module):
     dim: int
+    gelu_mode: str = "erf"
 
     @nn.compact
     def __call__(self, x):
@@ -72,7 +77,7 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         y = nn.LayerNorm(epsilon=1e-6, name="norm")(y)
         y = nn.Dense(4 * self.dim, name="mlp_fc1")(y)
-        y = _gelu(y)
+        y = _gelu(y, self.gelu_mode)
         y = nn.Dense(self.dim, name="mlp_fc2")(y)
         gamma = self.param("gamma", nn.initializers.constant(1e-6), (self.dim,))
         return x + gamma * y
@@ -80,16 +85,18 @@ class ConvNeXtBlock(nn.Module):
 
 class _ScanBlock(nn.Module):
     dim: int
+    gelu_mode: str = "erf"
 
     @nn.compact
     def __call__(self, x, _):
-        return ConvNeXtBlock(self.dim, name="block")(x), None
+        return ConvNeXtBlock(self.dim, self.gelu_mode, name="block")(x), None
 
 
 class ConvNeXtStage(nn.Module):
     dim: int
     depth: int
     downsample: bool
+    gelu_mode: str = "erf"
 
     @nn.compact
     def __call__(self, x):
@@ -104,7 +111,7 @@ class ConvNeXtStage(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.depth,
-        )(self.dim, name="blocks")
+        )(self.dim, self.gelu_mode, name="blocks")
         x, _ = blocks(x, None)
         return x
 
@@ -154,6 +161,7 @@ class ConvNeXtCLIPVisual(nn.Module):
     dims: Sequence[int] = DIMS
     embed_dim: int = EMBED_DIM
     stem_mode: str = STEM_MODE
+    gelu_mode: str = GELU_MODE
 
     @nn.compact
     def __call__(self, x):
@@ -162,13 +170,16 @@ class ConvNeXtCLIPVisual(nn.Module):
         x = nn.LayerNorm(epsilon=1e-6, name="stem_norm")(x)
         out["stem"] = x
         for i, (dim, depth) in enumerate(zip(self.dims, self.depths)):
-            x = ConvNeXtStage(dim, depth, downsample=i > 0, name=f"stage{i}")(x)
+            x = ConvNeXtStage(
+                dim, depth, downsample=i > 0, gelu_mode=self.gelu_mode,
+                name=f"stage{i}",
+            )(x)
             out[f"res{i + 2}"] = x
         # Per-location CLIP projection head (norm_pre is Identity for
         # convnext_large; the trunk head LayerNorm comes first).
         y = nn.LayerNorm(epsilon=1e-6, name="head_norm")(x)
         y = nn.Dense(2 * self.embed_dim, name="head_fc1")(y)
-        y = _gelu(y)
+        y = _gelu(y, self.gelu_mode)
         y = nn.Dense(self.embed_dim, use_bias=False, name="head_fc2")(y)
         out["clip_vis_dense"] = y
         return out

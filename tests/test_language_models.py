@@ -125,7 +125,11 @@ class TestConvNeXt:
         with torch.no_grad():
             ref = self._torch_forward(sd, torch.from_numpy(x))
         params = CW.convert_visual(sd, depths=self.DEPTHS)
-        model = ConvNeXtCLIPVisual(depths=self.DEPTHS, dims=self.DIMS, embed_dim=self.EMBED)
+        # Torch-oracle parity pins the REFERENCE-EXACT modes regardless of
+        # the OLS_GELU/OLS_STEM perf knobs.
+        model = ConvNeXtCLIPVisual(depths=self.DEPTHS, dims=self.DIMS,
+                                   embed_dim=self.EMBED,
+                                   stem_mode="conv", gelu_mode="erf")
         got = model.apply(
             {"params": jax.tree.map(jnp.asarray, params)},
             jnp.asarray(x.transpose(0, 2, 3, 1)),
@@ -520,21 +524,19 @@ class TestGELUKnob:
         b = np.asarray(jax.nn.gelu(x, approximate=True))
         assert np.abs(a - b).max() < 2e-3
 
-        tower = cc.ConvNeXtCLIPVisual(depths=(2, 2, 2, 2),
-                                      dims=(16, 32, 64, 128), embed_dim=32)
         g = np.random.default_rng(3)
         img = jnp.asarray(g.normal(size=(1, 64, 64, 3)), jnp.float32)
-        params = tower.init(jax.random.key(0), img)["params"]
-        old = cc._GELU_TANH
-        try:
-            cc._GELU_TANH = False
-            ref = np.asarray(tower.apply({"params": params}, img)[
-                "clip_vis_dense"]).ravel()
-            cc._GELU_TANH = True
-            tanh = np.asarray(tower.apply({"params": params}, img)[
-                "clip_vis_dense"]).ravel()
-        finally:
-            cc._GELU_TANH = old
+        erf_tower = cc.ConvNeXtCLIPVisual(
+            depths=(2, 2, 2, 2), dims=(16, 32, 64, 128), embed_dim=32,
+            gelu_mode="erf")
+        tanh_tower = cc.ConvNeXtCLIPVisual(
+            depths=(2, 2, 2, 2), dims=(16, 32, 64, 128), embed_dim=32,
+            gelu_mode="tanh")
+        params = erf_tower.init(jax.random.key(0), img)["params"]
+        ref = np.asarray(erf_tower.apply({"params": params}, img)[
+            "clip_vis_dense"]).ravel()
+        tanh = np.asarray(tanh_tower.apply({"params": params}, img)[
+            "clip_vis_dense"]).ravel()
         cos = float(np.dot(ref, tanh)
                     / (np.linalg.norm(ref) * np.linalg.norm(tanh) + 1e-12))
         assert cos >= 0.9999, cos

@@ -91,8 +91,10 @@ def test_sed_converter_full_scale_manifest(tmp_path):
             torch.from_numpy(x),
         )
     params = load_npz_tree(tmp_path / "clip_visual.npz")
+    # Reference-exact modes regardless of the OLS_GELU/OLS_STEM perf knobs.
     model = ConvNeXtCLIPVisual(
-        depths=vis.DEPTHS, dims=vis.DIMS, embed_dim=vis.EMBED
+        depths=vis.DEPTHS, dims=vis.DIMS, embed_dim=vis.EMBED,
+        stem_mode="conv", gelu_mode="erf",
     )
     got = model.apply(
         {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1))

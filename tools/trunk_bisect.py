@@ -56,7 +56,7 @@ def main() -> int:
     from flax import linen as nn
 
     from online_lang_splatting_tpu.models.convnext_clip import (
-        DEPTHS, DIMS, ConvNeXtStage, _gelu,
+        DEPTHS, DIMS, GELU_MODE, ConvNeXtStage, _gelu,
     )
 
     dt = jnp.bfloat16
@@ -84,7 +84,10 @@ def main() -> int:
         s = sizes[i]
         cin = DIMS[max(i - 1, 0)]
         x = jax.random.normal(key, (1, s, s, cin), dt)
-        stage = ConvNeXtStage(dim, depth, downsample=i > 0)
+        # gelu_mode is an explicit attribute now — honor the OLS_GELU env
+        # knob so stage rows stay A/B-able.
+        stage = ConvNeXtStage(dim, depth, downsample=i > 0,
+                              gelu_mode=GELU_MODE)
         # init in f32 (bf16 tracing promotes the residual add to f32 and
         # breaks the nn.scan carry), then cast — same recipe as the tower.
         params = stage.init(key, x.astype(jnp.float32))["params"]

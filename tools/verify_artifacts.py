@@ -155,7 +155,9 @@ def parity_sed(path: Path, out: Path) -> None:
     x = g.normal(size=(1, 3, 64, 64)).astype(np.float32)
     with torch.no_grad():
         ref = vis._torch_forward(sub, torch.from_numpy(x))
-    model = ConvNeXtCLIPVisual(depths=depths, dims=dims, embed_dim=embed)
+    # Reference-exact modes regardless of the OLS_GELU/OLS_STEM perf knobs.
+    model = ConvNeXtCLIPVisual(depths=depths, dims=dims, embed_dim=embed,
+                               stem_mode="conv", gelu_mode="erf")
     got = model.apply({"params": load_npz_tree(out / "clip_visual.npz")},
                       jnp.asarray(x.transpose(0, 2, 3, 1)))
     for key in ["stem", "res2", "res3", "res4", "res5", "clip_vis_dense"]:
