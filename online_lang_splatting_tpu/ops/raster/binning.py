@@ -35,6 +35,7 @@ exceeded (results are then truncated and the caller re-jits with a larger
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -93,18 +94,11 @@ class SortedBinning(NamedTuple):
     emit_start: jax.Array | None = None  # (P,) int32
 
 
-def _sorted_core(prep: Preprocessed, tiles_x: int, tiles_y: int,
-                 cap: int, tile_px: int):
-    """Shared front half of both binning layouts: depth pre-sort,
-    instance expansion with the exact (Gaussian, tile) alpha cull,
-    single-u32-key tile sort, per-tile ranges.
-    Returns (s_tile, s_gid, s_emit, starts, counts, total, perm, offsets):
-    sorted tile/gid/emission-index arrays, per-tile starts/counts, the
-    total instance demand, the depth-sort permutation, and each
-    depth-sorted Gaussian's first emission index."""
-    num_tiles = tiles_x * tiles_y
+def _depth_tables(prep: Preprocessed, cap: int):
+    """Expansion stage 1: depth pre-sort + per-Gaussian emission offsets +
+    the carried-row table (offset, rect_min x/y, rect width, id [, cull
+    geometry]) in depth order."""
     p = prep.depth.shape[0]
-
     tiles_touched = prep.tiles_touched
     d_key = jnp.where(tiles_touched > 0, prep.depth, jnp.inf)
     _, perm = jax.lax.sort(
@@ -139,30 +133,74 @@ def _sorted_core(prep: Preprocessed, tiles_x: int, tiles_y: int,
     gtab_s = jnp.concatenate(
         [offsets[:, None].astype(jnp.float32), gtab[perm]], axis=1
     )
+    return gtab_s, tt_s, offsets, total, perm
 
-    inst = jnp.arange(cap, dtype=jnp.int32)
+
+def _expand_scatter(gtab_s, tt_s, offsets, cap: int):
+    """Expansion stage 2: scatter each live Gaussian's carried rows to its
+    first emission slot; every other slot holds -1 (row 0 — the offset —
+    is the carry key: it is >= 0 exactly on set slots)."""
     start_idx = jnp.where(tt_s > 0, offsets, cap)
-    vals = jnp.full((gtab_s.shape[1], cap), -1.0, jnp.float32).at[
+    return jnp.full((gtab_s.shape[1], cap), -1.0, jnp.float32).at[
         :, start_idx
     ].set(gtab_s.T, mode="drop")
-    # Manual Hillis-Steele jump-carry (flat shift+select passes).
-    # NOT lax.associative_scan: its recursive odd/even lowering hangs the
-    # TPU compiler at 1M-element scale (reproduced in isolation).
-    # The carry condition keys on row 0 (the offset, always >= 0 when
-    # set) — later rows (xy, conic b) are legitimately negative.
-    # Passes are bounded by the longest possible run, which is one
-    # Gaussian's tiles_touched <= num_tiles (rects are screen-clamped),
-    # NOT cap: ~12 passes instead of 20 at the 1M bucket. The padding
-    # tail past `total` may stay unfilled (-1 rows) — every consumer
-    # masks it with `inst < total`.
-    max_run = min(cap, num_tiles)
-    s = 1
-    while s < max_run:
+
+
+def _jump_carry(vals, max_run: int, run_bound=None):
+    """Expansion stage 3: manual Hillis-Steele jump-carry (flat
+    shift+select passes) filling each slot from the nearest earlier set
+    slot. NOT lax.associative_scan: its recursive odd/even lowering hangs
+    the TPU compiler at 1M-element scale (reproduced in isolation).
+
+    Passes are bounded by the longest possible run, which is one
+    Gaussian's tiles_touched <= num_tiles (rects are screen-clamped), NOT
+    cap: ~10-12 passes instead of 20 at the 1M bucket. With `run_bound`
+    (a dynamic scalar: the scene's real max run, i.e. max(tiles_touched))
+    the passes run inside ONE lax.while_loop switching over the static
+    shift table, so a small-splat scene executes only
+    ceil(log2(run_bound)) of them — value-identical, the skipped passes
+    are provable no-ops. The padding tail past `total` may stay unfilled
+    (-1 rows) — every consumer masks it with `inst < total`."""
+    cap = vals.shape[1]
+
+    def one_pass(s: int, v):
         shifted = jnp.pad(
-            vals, ((0, 0), (s, 0)), constant_values=-1.0
+            v, ((0, 0), (s, 0)), constant_values=-1.0
         )[:, :cap]
-        vals = jnp.where(vals[0:1] >= 0.0, vals, shifted)
+        return jnp.where(v[0:1] >= 0.0, v, shifted)
+
+    shifts = []
+    s = 1
+    while s < min(cap, max_run):
+        shifts.append(s)
         s *= 2
+    if run_bound is None:
+        for s in shifts:
+            vals = one_pass(s, vals)
+        return vals
+    if not shifts:
+        return vals
+    branches = [functools.partial(one_pass, s) for s in shifts]
+    bound = jnp.asarray(run_bound, jnp.int32)
+
+    def cond(state):
+        k, _ = state
+        return (k < len(shifts)) & (jnp.left_shift(1, k) < bound)
+
+    def body(state):
+        k, v = state
+        return k + 1, jax.lax.switch(k, branches, v)
+
+    _, vals = jax.lax.while_loop(cond, body, (jnp.int32(0), vals))
+    return vals
+
+
+def _instance_tiles(vals, total, tiles_x: int, num_tiles: int, cap: int,
+                    tile_px: int):
+    """Expansion stage 4: per-instance tile id from the carried rect rows
+    + the exact per-(Gaussian, tile) alpha cull. Returns (tile, orig) with
+    culled/padding instances on the sentinel tile."""
+    inst = jnp.arange(cap, dtype=jnp.int32)
     rows = vals.T
     local = inst - rows[:, 0].astype(jnp.int32)
     width = rows[:, 3].astype(jnp.int32)
@@ -194,7 +232,15 @@ def _sorted_core(prep: Preprocessed, tiles_x: int, tiles_y: int,
         inst_valid = inst_valid & keep
     tile = jnp.where(inst_valid, tile_id, num_tiles)
     orig = jnp.where(inst_valid, rows[:, 4].astype(jnp.int32), -1)
+    return tile, orig
 
+
+def _key_sort(tile, orig, cap: int, num_tiles: int):
+    """Expansion stage 5: the single-u32-key tile sort. Within a tile,
+    emission order equals (depth asc, Gaussian id asc) — exactly the
+    reference's float-bit radix order for positive depths with its stable
+    tie-break."""
+    inst = jnp.arange(cap, dtype=jnp.int32)
     inst_bits = max((cap - 1).bit_length(), 1)
     if num_tiles + 1 <= (1 << (32 - inst_bits)):
         key = (
@@ -209,6 +255,26 @@ def _sorted_core(prep: Preprocessed, tiles_x: int, tiles_y: int,
         ).astype(jnp.int32)
     else:
         s_tile, s_emit, s_gid = jax.lax.sort((tile, inst, orig), num_keys=2)
+    return s_tile, s_gid, s_emit
+
+
+def _sorted_core(prep: Preprocessed, tiles_x: int, tiles_y: int,
+                 cap: int, tile_px: int):
+    """Shared front half of both binning layouts: depth pre-sort,
+    instance expansion with the exact (Gaussian, tile) alpha cull,
+    single-u32-key tile sort, per-tile ranges.
+    Returns (s_tile, s_gid, s_emit, starts, counts, total, perm, offsets):
+    sorted tile/gid/emission-index arrays, per-tile starts/counts, the
+    total instance demand, the depth-sort permutation, and each
+    depth-sorted Gaussian's first emission index."""
+    num_tiles = tiles_x * tiles_y
+    gtab_s, tt_s, offsets, total, perm = _depth_tables(prep, cap)
+    vals = _expand_scatter(gtab_s, tt_s, offsets, cap)
+    run_bound = jnp.max(tt_s) if C.BIN_DYN else None
+    vals = _jump_carry(vals, min(cap, num_tiles), run_bound)
+    tile, orig = _instance_tiles(vals, total, tiles_x, num_tiles, cap,
+                                 tile_px)
+    s_tile, s_gid, s_emit = _key_sort(tile, orig, cap, num_tiles)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(s_tile, tile_ids, side="left").astype(jnp.int32)

@@ -88,6 +88,16 @@ _sm = _os.environ.get("OLS_SCAN_MXU", "off")
 SCAN_MXU = {"0": "off", "1": "all"}.get(_sm, _sm)
 assert SCAN_MXU in ("off", "bwd", "all"), SCAN_MXU
 
+# Dynamic jump-carry pass count in the binning expansion
+# (binning._jump_carry): the static pass ladder covers the worst legal
+# run (one Gaussian touching every tile -> ceil(log2(num_tiles)) passes,
+# ~10 at tile 32), but real scenes' longest run is max(tiles_touched),
+# usually 2-16 -> 1-4 passes. "1" switches to a lax.while_loop over the
+# static shift table bounded by the measured max run. Value-identical
+# (the skipped passes are provable no-ops); default off until the
+# hardware A/B times it (a while_loop can defeat XLA pass fusion).
+BIN_DYN = _os.environ.get("OLS_BIN_DYN", "0") != "0"
+
 # Per-Gaussian gradient reduction strategy (tiled._blend_bwd):
 #   "scatter"  — one wide-row XLA scatter-add over Gaussian ids (baseline;
 #                ~18 ms at the 1M bucket, rows serialize on id conflicts).

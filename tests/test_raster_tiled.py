@@ -250,3 +250,64 @@ def test_overflow_flag():
     b_big = bin_gaussians(prep, tiles_x=4, tiles_y=3, max_instances=1 << 14)
     assert not bool(b_big.overflow)
     assert int(b_big.num_instances) == int(prep.tiles_touched.sum())
+
+
+def test_dynamic_jump_carry_parity():
+    """OLS_BIN_DYN's while_loop jump-carry must be value-identical to the
+    static pass ladder on real expansion data (small and huge splats, a
+    tight cap with real truncation, live padding tail)."""
+    from online_lang_splatting_tpu.ops.raster import binning as BN
+    from online_lang_splatting_tpu.ops.raster.preprocess import preprocess
+
+    for seed, scale_range, cap, chunk in [
+        (0, (0.05, 0.3), 1 << 13, 256),
+        (1, (0.3, 1.2), 1 << 13, 256),   # long runs: big splats
+        (2, (0.05, 0.3), 1 << 9, 64),    # capacity truncation
+    ]:
+        scene = random_scene(
+            n=96, width=80, height=56, seed=seed, scale_range=scale_range
+        )
+        view, proj = scene["viewmatrix"], scene["projmatrix"]
+        st = scene["settings"]
+        prep = preprocess(
+            scene["means3d"], scene["scales"], scene["quats"],
+            scene["opacities"], view, proj @ view,
+            -view[:3, :3].T @ view[:3, 3], shs=scene["shs"], sh_degree=0,
+            width=st.image_width, height=st.image_height,
+            tan_fovx=st.tanfovx, tan_fovy=st.tanfovy,
+        )
+        tiles_x = (st.image_width + 15) // 16
+        tiles_y = (st.image_height + 15) // 16
+        num_tiles = tiles_x * tiles_y
+        gtab, tt, off, total, _ = BN._depth_tables(prep, cap)
+        vals = BN._expand_scatter(gtab, tt, off, cap)
+        static = BN._jump_carry(vals, min(cap, num_tiles))
+        dyn = BN._jump_carry(vals, min(cap, num_tiles), jnp.max(tt))
+        # Compare only live slots: the padding tail past `total` is
+        # unspecified (every consumer masks it with inst < total).
+        live = (np.arange(cap) < int(total))[None, :]
+        np.testing.assert_array_equal(
+            np.asarray(static)[np.broadcast_to(live, static.shape)],
+            np.asarray(dyn)[np.broadcast_to(live, dyn.shape)],
+        )
+
+        # End-to-end: the full sorted binning under both modes.
+        b_static = BN.bin_gaussians_sorted(
+            prep, tiles_x=tiles_x, tiles_y=tiles_y, max_instances=cap,
+            chunk=chunk,
+        )
+        orig = BN.C.BIN_DYN
+        BN.C.BIN_DYN = True
+        try:
+            b_dyn = BN.bin_gaussians_sorted(
+                prep, tiles_x=tiles_x, tiles_y=tiles_y, max_instances=cap,
+                chunk=chunk,
+            )
+        finally:
+            BN.C.BIN_DYN = orig
+        for name in ("s_gid", "s_tile", "starts", "tile_counts", "cont",
+                     "num_instances", "overflow"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(b_static, name)),
+                np.asarray(getattr(b_dyn, name)), err_msg=name,
+            )

@@ -134,7 +134,7 @@ def main():
                 jnp.where(prep.valid, prep.depth, 0.0),
                 b.s_gid, b.s_tile, b.starts, b.cont, b.tile_counts,
                 z0, z0, z0, lim, tile, w, h, "scatter", True,
-                T.C.MULTISEG,
+                T.C.MULTISEG, T.C.SCAN_MXU,
             )
             return acc.sum() + nt.sum()
 
@@ -147,7 +147,7 @@ def main():
                     xy, conic, opac_, color, lang_, depth_,
                     b.s_gid, b.s_tile, b.starts, b.cont, b.tile_counts,
                     z0, z0, z0, lim, tile, w, h, "scatter", True,
-                    T.C.MULTISEG,
+                    T.C.MULTISEG, T.C.SCAN_MXU,
                 )
                 return acc.sum()
             return jax.grad(f, argnums=(0, 1, 2, 3, 4, 5))(
@@ -156,6 +156,50 @@ def main():
         timeit("core-fwd+bwd (pack+kernels+scatter)", jax.jit(core_bwd),
                prep_d.xy, prep_d.conic, prep_d.opacity, prep_d.color,
                lang, jnp.where(prep_d.valid, prep_d.depth, 0.0), bin_d)
+
+    if "binpieces" in variants:
+        # Cumulative-prefix timings of the binning pipeline stages — diff
+        # consecutive rows to isolate a stage. Cross-checks: the last row
+        # should match "binning-sorted-only" from the pieces variant.
+        cap = max_instances
+
+        def st1(prep):
+            return BN._depth_tables(prep, cap)
+
+        def st2(prep):
+            g, tt, off, tot, _ = BN._depth_tables(prep, cap)
+            return BN._expand_scatter(g, tt, off, cap), tot
+
+        def st3(prep, run_bound=None):
+            g, tt, off, tot, _ = BN._depth_tables(prep, cap)
+            v = BN._expand_scatter(g, tt, off, cap)
+            rb = jnp.max(tt) if run_bound == "dyn" else None
+            return BN._jump_carry(v, min(cap, num_tiles), rb), tot
+
+        def st4(prep):
+            v, tot = st3(prep)
+            return BN._instance_tiles(v, tot, tiles_x, num_tiles, cap,
+                                      tile)
+
+        def st5(prep):
+            t_, o_ = st4(prep)
+            return BN._key_sort(t_, o_, cap, num_tiles)
+
+        timeit("bin s1 depth-sort+tables", jax.jit(st1), prep_d)
+        timeit("bin s2 +expand-scatter", jax.jit(st2), prep_d)
+        timeit("bin s3 +jump-carry", jax.jit(st3), prep_d)
+        timeit("bin s3 +jump-carry DYN", jax.jit(
+            functools.partial(st3, run_bound="dyn")), prep_d)
+        timeit("bin s4 +tile+cull", jax.jit(st4), prep_d)
+        timeit("bin s5 +key-sort", jax.jit(st5), prep_d)
+        timeit("bin full (ranges+cont)", jax.jit(functools.partial(
+            BN.bin_gaussians_sorted, tiles_x=tiles_x, tiles_y=tiles_y,
+            max_instances=max_instances, chunk=T.CHUNK)), prep_d)
+        tt_host = np.asarray(prep_d.tiles_touched)
+        print(f"  tiles_touched: max={int(tt_host.max())} "
+              f"mean={float(tt_host[tt_host > 0].mean()):.2f} "
+              f"p99={int(np.percentile(tt_host[tt_host > 0], 99))}",
+              flush=True)
 
     if "micro" in variants:
         p = n
