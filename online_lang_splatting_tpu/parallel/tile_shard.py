@@ -192,10 +192,12 @@ def make_banded_render(mesh: Mesh, settings: RasterSettings, lang_dim: int):
 @functools.lru_cache(maxsize=None)
 def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
                              max_iters: int, alpha: float = 0.95,
-                             rgb_threshold: float = 0.01):
+                             rgb_threshold: float = 0.01,
+                             plateau_patience: int = 5):
     """Band-parallel whole-frame tracking: the same one-dispatch
     while_loop as slam.frontend.tracking_run (render → masked loss →
-    pose/exposure Adam → SE(3) retraction, exit on ‖tau‖<1e-4), with each
+    pose/exposure Adam → SE(3) retraction, exit on ‖tau‖<1e-4 or the
+    optional loss-plateau criterion), with each
     chip rendering + differentiating its own tile band and pose gradients
     psum over ICI. gt frames enter replicated and are band-sliced on
     device. Returns (view, ea, eb, n_iters, loss, median_depth,
@@ -236,14 +238,14 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
         return jax.lax.psum(loss, "dp"), (out.overflow, out.num_instances)
 
     def local(inputs, view, proj, gt_image_p, gt_depth_p, grad_mask_p,
-              exposure_a, exposure_b, lrs):
+              exposure_a, exposure_b, lrs, plateau_rtol):
         k = jax.lax.axis_index("dp")
         zeros3 = jnp.zeros(3, jnp.float32)
         lr_list = [lrs[0], lrs[1], lrs[2], lrs[2]]
         b1, b2, eps = 0.9, 0.999, 1e-8
 
         def body(state):
-            (view, ea, eb, m, v, t, _, loss_prev, ovf, dem) = state
+            (view, ea, eb, m, v, t, _, loss_prev, ovf, dem, cnt) = state
             (loss, (o, nd)), grads = jax.value_and_grad(
                 lambda rho, theta, ea, eb, view: band_loss(
                     inputs, rho, theta, ea, eb, view, proj,
@@ -273,9 +275,18 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
             trans_d, rot_d, d_ea, d_eb = steps
             tau = jnp.concatenate([trans_d, rot_d])
             view = lie.se3_exp(tau) @ view
-            converged = jnp.linalg.norm(tau) < 1e-4
+            # Loss-plateau exit (frontend.tracking_run docstring); the
+            # loss is psum'd, so the counter advances identically on
+            # every chip.
+            plateau = jnp.abs(loss - loss_prev) < plateau_rtol * (
+                jnp.maximum(loss_prev, 1e-12)
+            )
+            cnt = jnp.where(plateau, cnt + 1, 0)
+            converged = (jnp.linalg.norm(tau) < 1e-4) | (
+                (plateau_rtol > 0) & (cnt >= plateau_patience)
+            )
             return (view, ea + d_ea, eb + d_eb, tuple(new_m), tuple(new_v),
-                    t, converged, loss, ovf, dem)
+                    t, converged, loss, ovf, dem, cnt)
 
         def cond(state):
             t, converged = state[5], state[6]
@@ -288,9 +299,10 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
             (z3, z3, zs, zs), (z3, z3, zs, zs),
             jnp.zeros((), jnp.float32), jnp.array(False), jnp.zeros(()),
             jnp.array(False), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
         )
         (view, ea, eb, _, _, n_iters, _, loss, ovf,
-         dem) = jax.lax.while_loop(cond, body, init)
+         dem, _) = jax.lax.while_loop(cond, body, init)
         # Final render at the converged pose (band), assembled outside.
         out, _ = _band_blend(inputs, view, proj, settings, k, band_h=band_h)
         n_touched = jax.lax.psum(out.n_touched, "dp")
@@ -304,7 +316,7 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
 
     sharded = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(
             P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
             P(None, "dp", None), P(None, "dp", None), P("dp"), P("dp"),
@@ -314,7 +326,7 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
     )
 
     def fn(inputs: RenderInputs, view, proj, gt_image, gt_depth, grad_mask,
-           exposure_a, exposure_b, lrs):
+           exposure_a, exposure_b, lrs, plateau_rtol=0.0):
         # Language channels dropped like tracking_run (loss never reads
         # them) and gt frames padded to the band grid (padding rows carry
         # zero gt → masked out of every loss term).
@@ -331,6 +343,7 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
             track_inputs, view, proj, padh(gt_image),
             padh(gt_depth), padh(grad_mask),
             exposure_a, exposure_b, jnp.asarray(lrs, jnp.float32),
+            jnp.asarray(plateau_rtol, jnp.float32),
         )
         from ..slam import losses as L
 

@@ -57,3 +57,55 @@ class PrefetchDataset:
 
     def close(self):
         self._pool.shutdown(wait=False, cancel_futures=True)
+
+
+class CameraPrefetcher:
+    """Builds Cameras AHEAD of the SLAM loop: the ~13 MB/frame
+    host→device image+depth upload and the grad-mask dispatch each pay a
+    remote-tunnel round trip (CLAUDE.md: 50-300 ms); doing them for frame
+    N+1 in a worker thread while frame N's tracking program runs on
+    device hides both behind compute. One worker keeps the tunnel
+    uncontended and the dispatch order deterministic.
+
+    The reference has no analogue (Camera.init_from_dataset runs inline,
+    /root/reference/utils/slam_frontend.py:578); this is a latency
+    optimization for the remote-device topology, value-identical.
+    """
+
+    def __init__(self, dataset, config, lookahead: int = 2):
+        self._dataset = dataset
+        self._config = config
+        self._lookahead = lookahead
+        self._pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="cam-prefetch"
+        )
+        self._lock = threading.Lock()
+        self._pending: "OrderedDict[int, Future]" = OrderedDict()
+
+    def _build(self, idx: int):
+        from .camera import Camera
+
+        cam = Camera.from_dataset(self._dataset, idx)
+        cam.compute_grad_mask(self._config)
+        return cam
+
+    def _schedule(self, idx: int):
+        if 0 <= idx < len(self._dataset) and idx not in self._pending:
+            self._pending[idx] = self._pool.submit(self._build, idx)
+            while len(self._pending) > 2 * self._lookahead + 2:
+                old, _fut = next(iter(self._pending.items()))
+                if old >= idx:
+                    break
+                self._pending.pop(old)
+
+    def get(self, idx: int):
+        with self._lock:
+            fut = self._pending.pop(idx, None)
+            for ahead in range(1, self._lookahead + 1):
+                self._schedule(idx + ahead)
+        if fut is None:
+            return self._build(idx)
+        return fut.result()
+
+    def close(self):
+        self._pool.shutdown(wait=False, cancel_futures=True)

@@ -57,14 +57,19 @@ class SLAM:
                  save_dir: Optional[str] = None):
         self.config = config
         self.dataset = load_dataset(config)
+        self._campre = None
         if (
             config["Dataset"].get("prefetch", True)
             and config["Dataset"]["type"] != "realsense"  # live streams
             and len(self.dataset) > 0
         ):
-            from .prefetch import PrefetchDataset
+            from .prefetch import CameraPrefetcher, PrefetchDataset
 
             self.dataset = PrefetchDataset(self.dataset)
+            # Second stage: build Cameras (device upload + grad-mask
+            # dispatch) ahead too — overlaps the tunnel round trips with
+            # the current frame's tracking compute.
+            self._campre = CameraPrefetcher(self.dataset, config)
         self.save_dir = save_dir
         calib = config["Dataset"]["Calibration"]
         width, height = calib["width"], calib["height"]
@@ -244,8 +249,11 @@ class SLAM:
         for idx in range(start_frame, n):
             self._check_gui_pause()
             t0 = time.time()
-            cam = Camera.from_dataset(self.dataset, idx)
-            cam.compute_grad_mask(self.config)
+            if self._campre is not None:
+                cam = self._campre.get(idx)
+            else:
+                cam = Camera.from_dataset(self.dataset, idx)
+                cam.compute_grad_mask(self.config)
             fe.cameras[idx] = cam
             t0 = _tick("data", t0)
 
@@ -273,7 +281,8 @@ class SLAM:
                 continue
 
             prev = fe.cameras[idx - self.use_every_n_frames]
-            visibility = fe.track(cam, prev, self.proj)
+            prev2 = fe.cameras.get(idx - 2 * self.use_every_n_frames)
+            visibility = fe.track(cam, prev, self.proj, prev2=prev2)
             t0 = _tick("track", t0)
             frames_since_kf += 1
             if self.viewer is not None:
@@ -472,8 +481,11 @@ class SLAM:
         for idx in range(n):
             self._check_gui_pause()
             t_frame = time.time()
-            cam = Camera.from_dataset(self.dataset, idx)
-            cam.compute_grad_mask(self.config)
+            if self._campre is not None:
+                cam = self._campre.get(idx)
+            else:
+                cam = Camera.from_dataset(self.dataset, idx)
+                cam.compute_grad_mask(self.config)
             fe.cameras[idx] = cam
             if idx == 0:
                 # The reference frontend blocks while requested_init
@@ -495,7 +507,8 @@ class SLAM:
             # in flight; only new-keyframe creation is deferred.
             drain_frontend_queue()
             prev = fe.cameras[idx - 1]
-            visibility = fe.track(cam, prev, self.proj)
+            visibility = fe.track(cam, prev, self.proj,
+                                  prev2=fe.cameras.get(idx - 2))
             frames_since_kf += 1
             if state["requested_kf"] > 0:
                 self.tracked_while_kf_in_flight += 1
