@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import lie
-from ..ops.raster import RasterSettings
+from ..ops.raster import RasterSettings, grow_bucket
 from . import losses as L
 from .camera import Camera
 from .renderer import RenderInputs, render

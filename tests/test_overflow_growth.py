@@ -53,6 +53,44 @@ def test_snug_bucket_grows_and_run_completes():
         assert np.isfinite(cam.t).all()
 
 
+def test_frontend_track_overflow_replay():
+    """Drive FrontEnd.track itself into the overflow-replay branch
+    (slam/frontend.py track(): grow_bucket + redo frame). Round 4 shipped
+    a NameError on exactly this path (grow_bucket used without import)
+    that the suite missed because the other overflow tests only exercise
+    the mapping/backend growth — the backend grows the shared bucket
+    during init, so tracking never overflows in a full SLAM.run. Here the
+    FRONTEND pool alone is shrunk below the scene's tile-16 instance
+    demand after init, so the first track() call must overflow, grow, and
+    replay."""
+    from online_lang_splatting_tpu.slam.camera import Camera
+
+    config = load_config("configs/synthetic/smoke.yaml")
+    config["raster_tile"] = 16   # see test_snug_bucket_grows_and_run_completes
+    config["Dataset"]["prefetch"] = False
+    config["Training"]["init_itr_num"] = 8
+    config["Training"]["tracking_itr_num"] = 6
+    slam = SLAM(config)
+    fe, be = slam.frontend, slam.backend
+    cam0 = Camera.from_dataset(slam.dataset, 0)
+    cam0.compute_grad_mask(config)
+    fe.cameras[0] = cam0
+    cam0.update_rt(cam0.r_gt, cam0.t_gt)
+    be.add_next_kf(0, cam0, fe.new_keyframe_depth(cam0), init=True)
+    be.initialize_map(0, cam0)
+    slam._sync_frontend_state()
+    fe.settings = fe.settings._replace(max_instances=256)
+    cam1 = Camera.from_dataset(slam.dataset, 1)
+    cam1.compute_grad_mask(config)
+    fe.cameras[1] = cam1
+    visibility = fe.track(cam1, cam0, slam.proj)
+    # grow_bucket ran (the pool grew) and the replayed frame committed a
+    # finite pose + visibility from a non-truncated render.
+    assert fe.settings.max_instances > 256
+    assert np.isfinite(cam1.t).all()
+    assert visibility.any()
+
+
 def test_overflow_replay_mid_pipeline(monkeypatch):
     """Overflow while a SECOND chunk is already in flight: the depth-2
     pipelined map() loop (backend._submit_chunk/_finish_chunk) must roll
