@@ -65,6 +65,22 @@ class CLIPRelevancy:
                     f"queries missing from embed_table and no text tower "
                     f"loaded: {missing}"
                 )
+            # Mixed batch: per-query fallback — table hits keep their
+            # precomputed embeddings, only the misses go through the tower
+            # (a whole-batch tower pass would silently ignore the table).
+            tower = self._tower_encode(missing)
+            rows = []
+            mi = 0
+            for t in texts:
+                if t in self._embed_table:
+                    rows.append(_l2n(jnp.asarray(self._embed_table[t])))
+                else:
+                    rows.append(tower[mi])
+                    mi += 1
+            return jnp.stack(rows)
+        return self._tower_encode(texts)
+
+    def _tower_encode(self, texts):
         from ..models.text_tower import TextTower
 
         tokens = jnp.asarray(self._tokenizer(texts))

@@ -1045,6 +1045,24 @@ class BackEnd:
                     f"(since submit {time.time() - ctx['t_submitted']:.2f}s)",
                     flush=True,
                 )
+            if (_attempt == 3) and (bool(ovf_h) or bool(cap_ovf_h)):
+                # Attempt budget exhausted: do NOT grow or dispatch another
+                # replay — committing a fresh replay's outputs device-side
+                # while the host writeback below uses THIS attempt's fetched
+                # poses/occ would skew device and host state (and growing
+                # self.cap without replaying leaves self.params at the old
+                # capacity shapes). Commit the last fetched (truncated)
+                # result consistently; the next chunk re-detects and grows.
+                import warnings
+
+                warnings.warn(
+                    "[backend] mapping chunk still overflows after 3 "
+                    f"grow+replay attempts (max_instances="
+                    f"{self.settings.max_instances}, capacity={self.cap}); "
+                    "committing truncated result — map quality may degrade.",
+                    RuntimeWarning,
+                )
+                break
             grew = False
             if bool(ovf_h):
                 # Demand-sized growth: the chunk reports its exact peak
@@ -1085,17 +1103,6 @@ class BackEnd:
             out = self._dispatch_chunk(ctx, *ctx["state_in"], ctx["win_in"])
             ctx["out"] = out
             self._advance_to(ctx, out)
-        else:
-            if bool(ovf_h) or bool(cap_ovf_h):
-                import warnings
-
-                warnings.warn(
-                    "[backend] mapping chunk still overflows after 4 "
-                    f"doublings (max_instances="
-                    f"{self.settings.max_instances}, capacity={self.cap}); "
-                    "committing truncated result — map quality may degrade.",
-                    RuntimeWarning,
-                )
         if dbg:
             print(
                 f"[chunk] n={ctx['n']} live={ctx['n_eff']} "

@@ -29,6 +29,7 @@ class PrefetchDataset:
         )
         self._lock = threading.Lock()
         self._pending: "OrderedDict[int, Future]" = OrderedDict()
+        self._closed = False
 
     def __len__(self):
         return len(self._dataset)
@@ -37,6 +38,8 @@ class PrefetchDataset:
         return getattr(self._dataset, name)
 
     def _schedule(self, idx: int):
+        if self._closed:
+            return
         if 0 <= idx < len(self._dataset) and idx not in self._pending:
             self._pending[idx] = self._pool.submit(self._dataset.__getitem__, idx)
             # Bound memory: drop oldest stale entries nobody consumed.
@@ -56,6 +59,11 @@ class PrefetchDataset:
         return fut.result()
 
     def close(self):
+        """Stop the workers and drop cached frames; later __getitem__ calls
+        (post-run eval reloads pixels) degrade to direct synchronous reads."""
+        with self._lock:
+            self._closed = True
+            self._pending.clear()
         self._pool.shutdown(wait=False, cancel_futures=True)
 
 
@@ -81,6 +89,7 @@ class CameraPrefetcher:
         )
         self._lock = threading.Lock()
         self._pending: "OrderedDict[int, Future]" = OrderedDict()
+        self._closed = False
 
     def _build(self, idx: int):
         from .camera import Camera
@@ -90,6 +99,8 @@ class CameraPrefetcher:
         return cam
 
     def _schedule(self, idx: int):
+        if self._closed:
+            return
         if 0 <= idx < len(self._dataset) and idx not in self._pending:
             self._pending[idx] = self._pool.submit(self._build, idx)
             while len(self._pending) > 2 * self._lookahead + 2:
@@ -108,4 +119,9 @@ class CameraPrefetcher:
         return fut.result()
 
     def close(self):
+        """Stop the worker and release the prefetched device-resident
+        cameras (~13 MB each); later get() calls build synchronously."""
+        with self._lock:
+            self._closed = True
+            self._pending.clear()
         self._pool.shutdown(wait=False, cancel_futures=True)

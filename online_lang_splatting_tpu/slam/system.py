@@ -209,14 +209,26 @@ class SLAM:
             if idx in self.frontend.cameras:
                 self.frontend.cameras[idx].update_rt(cam.r, cam.t)
 
+    def close(self):
+        """Shut down prefetch worker threads and drop their device-resident
+        camera cache (each prefetched Camera pins ~13 MB on device; the
+        non-daemon pool threads otherwise outlive the run)."""
+        if self._campre is not None:
+            self._campre.close()
+        if hasattr(self.dataset, "close"):
+            self.dataset.close()
+
     def run(self, max_frames: Optional[int] = None, start_frame: int = 0,
             checkpoint_every: Optional[int] = None):
-        if self.single_thread:
-            return self.run_single_thread(
-                max_frames, start_frame=start_frame,
-                checkpoint_every=checkpoint_every,
-            )
-        return self.run_threaded(max_frames)
+        try:
+            if self.single_thread:
+                return self.run_single_thread(
+                    max_frames, start_frame=start_frame,
+                    checkpoint_every=checkpoint_every,
+                )
+            return self.run_threaded(max_frames)
+        finally:
+            self.close()
 
     def run_single_thread(self, max_frames: Optional[int] = None,
                           start_frame: int = 0,

@@ -139,6 +139,32 @@ class TestRelevancy:
         pred = np.asarray(rel.get_semantic_map(jnp.asarray(sem)))
         np.testing.assert_array_equal(pred[0], labels)
 
+    def test_embed_table_partial_fallback(self, monkeypatch):
+        """Mixed batch: table hits keep their precomputed embeddings and
+        ONLY the misses go through the text tower (a whole-batch tower
+        pass silently ignored the table — ADVICE r4)."""
+        from online_lang_splatting_tpu.eval import relevancy as R
+
+        rng = np.random.default_rng(2)
+        table = {"chair": rng.normal(size=16).astype(np.float32)}
+        calls = []
+
+        def fake_tower(self, texts):
+            calls.append(list(texts))
+            out = np.tile(np.arange(16, dtype=np.float32), (len(texts), 1))
+            return R._l2n(jnp.asarray(out))
+
+        monkeypatch.setattr(R.CLIPRelevancy, "_tower_encode", fake_tower)
+        rel = R.CLIPRelevancy(
+            text_params={"stub": 0}, tokenizer=None, embed_table=table
+        )
+        emb = np.asarray(rel._encode(["chair", "vase"]))
+        expect = np.asarray(R._l2n(jnp.asarray(table["chair"])))
+        np.testing.assert_allclose(emb[0], expect, rtol=1e-6)
+        assert calls[-1] == ["vase"]  # only the miss hit the tower
+        # All-miss batches (the NEGATIVES warmup) go through in one call.
+        assert calls[0] == list(R.NEGATIVES)
+
 
 class TestPly:
     def test_roundtrip(self, tmp_path):

@@ -27,7 +27,15 @@ def main():
     ap.add_argument("--goldens", default=None,
                     help="golden dir (default tests/goldens; point at a "
                     "scratch dir for tile/semantics A/Bs)")
+    ap.add_argument("--tile", type=int, default=None,
+                    help="render tile size; defaults to 32 when the golden "
+                    "dir name ends in _t32, else the env/kernel default — "
+                    "without this, pointing --goldens at tile-32 goldens "
+                    "compared tile-16 renders against them")
     args = ap.parse_args()
+    if args.tile is None and args.goldens and args.goldens.rstrip(
+            "/").endswith("_t32"):
+        args.tile = 32
 
     import jax
 
@@ -48,7 +56,8 @@ def main():
         gdir = Path(args.goldens) if args.goldens else (
             REPO / "tests" / "goldens")
         golden = np.load(gdir / f"{name}.npz")
-        got = render_scene(make(), "tpu")
+        overrides = {} if args.tile is None else {"tile": args.tile}
+        got = render_scene(make(), "tpu", **overrides)
         worst = {}
         ok = True
         for key in golden.files:
