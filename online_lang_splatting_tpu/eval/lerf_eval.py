@@ -210,6 +210,7 @@ def evaluate_scene(
     lang_dir = Path(lang_dir)
     anns = load_annotations(ann_path)
     iou_all, acc, total = [], 0, 0
+    distinct, frames_scored = set(), 0
     for frame_name, img_ann in anns.items():
         f = lang_dir / f"{frame_name}.npy"
         if not f.exists():
@@ -222,10 +223,14 @@ def evaluate_scene(
         iou_all.extend(ious)
         acc += lerf_localization(sem_map, relevancy, img_ann)
         total += len(img_ann)
+        distinct.update(img_ann.keys())
+        frames_scored += 1
     return {
         "miou": float(np.mean(iou_all)) if iou_all else float("nan"),
         "localization_acc": acc / max(total, 1),
         "num_queries": total,
+        "distinct_queries": len(distinct),
+        "frames_scored": frames_scored,
     }
 
 
@@ -250,6 +255,7 @@ def evaluate_scene_multilevel(
     feat_dirs = [Path(d) for d in feat_dirs]
     h, w = eval_size
     iou_all, acc, total = [], 0, 0
+    distinct, frames_scored = set(), 0
     for frame_name, img_ann in anns.items():
         levels = []
         for d in feat_dirs:
@@ -273,8 +279,12 @@ def evaluate_scene_multilevel(
         iou_all.extend(ious)
         acc += lerf_localization(sem_map, relevancy, img_ann)
         total += len(img_ann)
+        distinct.update(img_ann.keys())
+        frames_scored += 1
     return {
         "miou": float(np.mean(iou_all)) if iou_all else float("nan"),
         "localization_acc": acc / max(total, 1),
         "num_queries": total,
+        "distinct_queries": len(distinct),
+        "frames_scored": frames_scored,
     }

@@ -266,15 +266,35 @@ def run_synthetic_miou(config, *, max_frames=None, every: int = 5,
     ann_path = write_annotations(extractor, saved, out_dir / "ann")
 
     h, w = dataset.height, dataset.width
+    dec = OnlineDecoder(online_ae) if online_ae else None
     result = evaluate_scene(
         str(lang_dir), str(ann_path), extractor, extractor.relevancy(),
-        online_ae=OnlineDecoder(online_ae) if online_ae else None,
-        eval_size=(h, w),
+        online_ae=dec, eval_size=(h, w),
+    )
+    # Score the same maps through the LangSplat multilevel entry point
+    # (one level here — the reference's per-level dirs,
+    # evaluate_langsplat.py:227-290) so the gated run exercises BOTH
+    # production protocols end to end.
+    from .lerf_eval import evaluate_scene_multilevel
+
+    def _decode_flat(flat):
+        import jax.numpy as jnp
+
+        z = jnp.asarray(flat)
+        if dec is not None:
+            z = dec.decode(z)
+        return extractor.decode_codes(z)
+
+    ml = evaluate_scene_multilevel(
+        [str(lang_dir)], str(ann_path), _decode_flat,
+        extractor.relevancy(), eval_size=(h, w), hwc=False,
     )
     result.update(
         stage=stage,
         frames_evaluated=len(saved),
         ae_roundtrip_cos=extractor.roundtrip_cos,
         keyframes=len(slam.frontend.kf_indices),
+        multilevel={k: ml[k] for k in
+                    ("miou", "localization_acc", "num_queries")},
     )
     return result

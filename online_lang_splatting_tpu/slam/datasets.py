@@ -243,6 +243,23 @@ class SyntheticDataset(BaseDataset):
         # are sparse, as the edge_threshold grad-mask heuristic assumes.
         self.tex = self.rng.uniform(0.1, 0.9, size=(8, 8, 3)).astype(np.float32)
         self.poses = [self._pose(i) for i in range(self.n)]
+        # Open-vocabulary GT granularity: 2 = the geometric surfaces
+        # (wall/floor — smoke-scale protocol locks depend on the large
+        # regions); 9 subdivides them into world-coordinate bands so the
+        # replica-scale mIoU eval scores >=8 queries like the reference
+        # protocol's per-scene class lists
+        # (/root/reference/eval/create_replica_labels.py:57-58 picks the
+        # top-10 classes per scene).
+        n_sem = int(config["Dataset"].get("semantic_classes", 2))
+        assert n_sem in (2, 9), n_sem
+        if n_sem == 2:
+            self.SEMANTIC_LABELS = ("wall", "floor")
+        else:
+            self.SEMANTIC_LABELS = (
+                "window", "door", "poster", "shelf", "painting",
+                "rug", "mat", "wooden floor", "tile floor",
+            )
+        self._n_sem = n_sem
 
     def _pose(self, i):
         # Translation orbit + yaw sweep so keyframe visibility overlap
@@ -287,19 +304,37 @@ class SyntheticDataset(BaseDataset):
         color = np.transpose(np.clip(color, 0, 1), (2, 0, 1)).astype(np.float32)
         return color, depth, w2c.astype(np.float32), None, None
 
-    # Class labels for the analytic surfaces (synthetic open-vocabulary GT).
+    # Class labels for the analytic surfaces (synthetic open-vocabulary
+    # GT); instance attribute set in __init__ from Dataset.semantic_classes.
     SEMANTIC_LABELS = ("wall", "floor")
 
+    # World-coordinate band edges for the 9-class partition: wall split by
+    # x (the orbit sweeps wall x in [-4, 14] — measured per-frame quantiles
+    # keep every band a few-hundred px wide at 1200x680), floor by z.
+    _WALL_X_EDGES = (-1.5, 0.5, 2.5, 5.0)
+    _FLOOR_Z_EDGES = (2.2, 2.9, 3.5)
+
     def gt_semantics(self, idx) -> np.ndarray:
-        """(H, W) int class mask from the known geometry: 0 = wall (z=4
-        plane wins the ray intersection), 1 = floor (y=1.5 plane).
+        """(H, W) int class mask from the known geometry. With 2 classes:
+        0 = wall (z=4 plane wins the ray intersection), 1 = floor (y=1.5
+        plane). With 9: the wall is subdivided into 5 world-x bands
+        (classes 0-4) and the floor into 4 world-z bands (classes 5-8) —
+        analytically exact region labels for >=8-query eval.
 
         Ground truth for the synthetic end-to-end open-vocabulary eval
         (eval/synthetic_miou.py) — the same role the LERF-style mask
         annotations play in the reference protocol
         (/root/reference/eval/evaluate_onlinelangslam.py:305-352)."""
-        _, _, _, _, tz, ty, tt = self._raycast(idx)
-        return np.where(tt == tz, 0, 1).astype(np.int32)
+        _, org, _, dirs_w, tz, ty, tt = self._raycast(idx)
+        on_wall = tt == tz
+        if self._n_sem == 2:
+            return np.where(on_wall, 0, 1).astype(np.int32)
+        pts = org + tt[..., None] * dirs_w
+        wall_band = np.digitize(pts[..., 0], self._WALL_X_EDGES)
+        floor_band = np.digitize(pts[..., 2], self._FLOOR_Z_EDGES)
+        return np.where(
+            on_wall, wall_band, 5 + floor_band
+        ).astype(np.int32)
 
 
 class EuRoCDataset(BaseDataset):

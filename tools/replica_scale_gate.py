@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--no-gates", action="store_true",
                     help="record metrics without failing on thresholds")
+    ap.add_argument("--motion-model", choices=["static", "cv"], default=None,
+                    help="override Training.motion_model (loop A/Bs from "
+                    "one fixed tree — VERDICT r4 #2)")
+    ap.add_argument("--no-prefetch", action="store_true",
+                    help="disable dataset+camera prefetch threads")
+    ap.add_argument("--tag", type=str, default=None,
+                    help="label recorded in the result JSON")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +59,10 @@ def main():
     from online_lang_splatting_tpu.slam.system import SLAM
 
     config = load_config(args.config)
+    if args.motion_model is not None:
+        config["Training"]["motion_model"] = args.motion_model
+    if args.no_prefetch:
+        config["Dataset"]["prefetch"] = False
     t0 = time.time()
     slam = SLAM(config)
     slam.run(max_frames=args.max_frames)
@@ -103,7 +114,18 @@ def main():
         ) if iters.size else None,
     }
 
+    import os
+    import subprocess
+
     result = {
+        "tag": args.tag,
+        "head": subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True
+        ).stdout.strip(),
+        "motion_model": config["Training"].get("motion_model", "static"),
+        "prefetch": not args.no_prefetch,
+        "blend_chunk": os.environ.get("OLS_BLEND_CHUNK", "256"),
         "frames": n_frames,
         "keyframes": len(fe.kf_indices),
         "gaussians": int(np.asarray(be.aux.active).sum()),

@@ -32,8 +32,9 @@ sys.path.insert(0, str(REPO))
 # measured 0.367, stage 2 measured 0.522, localization 1.0.
 # Hardware replica scale (1200×680, 2-stage, 16 frames, real TPU,
 # 2026-08-19 /tmp/hwq_r4c/miou_replica.json): mIoU 0.882, localization
-# 1.0, AE round-trip cos 0.9975 — gate replica-scale runs with
-# `--min-miou 0.7` (regression lock under the measured 0.88).
+# 1.0, AE round-trip cos 0.9975. Replica-scale runs default to the 0.7
+# regression lock + >=8 distinct queries / >=8 scored frames (wired below
+# from the config path — VERDICT r4 #6).
 DEFAULT_MIN_MIOU = {1: 0.25, 2: 0.35}
 REPLICA_SCALE_MIN_MIOU = 0.7
 DEFAULT_MIN_LOC = 0.75
@@ -50,6 +51,12 @@ def main():
     ap.add_argument("--ae-steps", type=int, default=300)
     ap.add_argument("--min-miou", type=float, default=None)
     ap.add_argument("--min-loc", type=float, default=DEFAULT_MIN_LOC)
+    ap.add_argument("--min-queries", type=int, default=None,
+                    help="minimum distinct queries scored (default 8 at "
+                    "replica scale, 1 at smoke scale)")
+    ap.add_argument("--min-frames", type=int, default=None,
+                    help="minimum frames evaluated (default 8 at replica "
+                    "scale, 2 at smoke scale)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--no-gates", action="store_true")
     ap.add_argument("--platform", default=None, choices=("cpu", "tpu"),
@@ -80,18 +87,34 @@ def main():
         config, max_frames=args.max_frames, every=args.every,
         stage=args.stage, train_steps=args.ae_steps,
     )
+    # Replica-scale runs carry the pinned 0.7 regression lock plus the
+    # reference-protocol breadth requirements (>=8 queries / >=8 frames,
+    # evaluate_onlinelangslam.py:305-352 scores many frames x many
+    # queries) — smoke-scale runs keep the blur-capped per-stage locks.
+    replica_scale = "replica_scale" in args.config
     min_miou = (
         args.min_miou if args.min_miou is not None
-        else DEFAULT_MIN_MIOU[args.stage]
+        else (REPLICA_SCALE_MIN_MIOU if replica_scale
+              else DEFAULT_MIN_MIOU[args.stage])
+    )
+    min_queries = (
+        args.min_queries if args.min_queries is not None
+        else (8 if replica_scale else 1)
+    )
+    min_frames = (
+        args.min_frames if args.min_frames is not None
+        else (8 if replica_scale else 2)
     )
     result.update(
         wall_s=round(time.time() - t0, 1),
         config=args.config,
-        gates={"min_miou": min_miou, "min_loc": args.min_loc},
+        gates={"min_miou": min_miou, "min_loc": args.min_loc,
+               "min_queries": min_queries, "min_frames": min_frames},
     )
     ok = (result["miou"] >= min_miou
           and result["localization_acc"] >= args.min_loc
-          and result["num_queries"] > 0)
+          and result["distinct_queries"] >= min_queries
+          and result["frames_scored"] >= min_frames)
     result["gates_ok"] = bool(ok)
     line = json.dumps(result)
     print(line)
