@@ -193,7 +193,8 @@ def make_banded_render(mesh: Mesh, settings: RasterSettings, lang_dim: int):
 def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
                              max_iters: int, alpha: float = 0.95,
                              rgb_threshold: float = 0.01,
-                             plateau_patience: int = 5):
+                             plateau_patience: int = 5,
+                             keep_best: bool = False):
     """Band-parallel whole-frame tracking: the same one-dispatch
     while_loop as slam.frontend.tracking_run (render → masked loss →
     pose/exposure Adam → SE(3) retraction, exit on ‖tau‖<1e-4 or the
@@ -245,7 +246,8 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
         b1, b2, eps = 0.9, 0.999, 1e-8
 
         def body(state):
-            (view, ea, eb, m, v, t, _, loss_prev, ovf, dem, cnt) = state
+            (view, ea, eb, m, v, t, _, loss_prev, ovf, dem, cnt,
+             best) = state
             (loss, (o, nd)), grads = jax.value_and_grad(
                 lambda rho, theta, ea, eb, view: band_loss(
                     inputs, rho, theta, ea, eb, view, proj,
@@ -253,6 +255,15 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
                 ),
                 argnums=(0, 1, 2, 3), has_aux=True,
             )(zeros3, zeros3, ea, eb, view)
+            # Running argmin-loss iterate (frontend.tracking_run keep_best
+            # docstring); loss is psum'd, so the argmin is chip-identical.
+            better = loss < best[0]
+            best = (
+                jnp.where(better, loss, best[0]),
+                jnp.where(better, view, best[1]),
+                jnp.where(better, ea, best[2]),
+                jnp.where(better, eb, best[3]),
+            )
             # Loss is already psum'd; its gradient w.r.t. the local band
             # contribution is per-chip partial — psum makes the pose step
             # identical on every chip.
@@ -286,7 +297,7 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
                 (plateau_rtol > 0) & (cnt >= plateau_patience)
             )
             return (view, ea + d_ea, eb + d_eb, tuple(new_m), tuple(new_v),
-                    t, converged, loss, ovf, dem, cnt)
+                    t, converged, loss, ovf, dem, cnt, best)
 
         def cond(state):
             t, converged = state[5], state[6]
@@ -300,9 +311,13 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
             jnp.zeros((), jnp.float32), jnp.array(False), jnp.zeros(()),
             jnp.array(False), jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.int32),
+            (jnp.full((), jnp.inf, jnp.float32), view, exposure_a,
+             exposure_b),
         )
         (view, ea, eb, _, _, n_iters, _, loss, ovf,
-         dem, _) = jax.lax.while_loop(cond, body, init)
+         dem, _, best) = jax.lax.while_loop(cond, body, init)
+        if keep_best:
+            loss, view, ea, eb = best
         # Final render at the converged pose (band), assembled outside.
         out, _ = _band_blend(inputs, view, proj, settings, k, band_h=band_h)
         n_touched = jax.lax.psum(out.n_touched, "dp")

@@ -30,7 +30,7 @@ from .renderer import RenderInputs, render
     jax.jit,
     static_argnames=(
         "settings", "alpha", "rgb_threshold", "max_iters",
-        "plateau_patience",
+        "plateau_patience", "keep_best",
     ),
 )
 def tracking_run(
@@ -40,6 +40,7 @@ def tracking_run(
     plateau_rtol=0.0,
     *, settings: RasterSettings, max_iters: int,
     alpha=0.95, rgb_threshold=0.01, plateau_patience: int = 5,
+    keep_best: bool = False,
 ):
     """Whole-frame tracking in ONE dispatch: a lax.while_loop of
     render → loss → pose/exposure Adam → SE(3) retraction with the
@@ -53,6 +54,17 @@ def tracking_run(
     the budget (measured 62-84% budget exhaustion, PERF.md) even when the
     pose stopped improving dozens of iterations earlier; the plateau exit
     banks those iterations. 0.0 (default) preserves reference behavior.
+
+    `keep_best=True` returns the argmin-loss (pose, exposure) over the
+    loop instead of the last iterate. Adam's bias-corrected step is
+    ~lr-sized regardless of gradient magnitude, so even from a perfect
+    init the pose random-walks at ~lr scale until the budget runs out —
+    the LAST iterate carries that noise into the trajectory (and, frame
+    over frame, into map drift: the 120-frame run doubled ATE with 84%
+    budget saturation). The loss at each iterate is already computed for
+    its gradient, so tracking the argmin costs four extra while-loop
+    registers and no extra renders. Off by default (reference parity:
+    update_pose commits the final iterate, pose_utils.py:76-93).
 
     Language channels are dropped from the tracking render: the tracking
     loss never reads them, so results are identical and the blend moves
@@ -82,10 +94,19 @@ def tracking_run(
     b1, b2, eps = 0.9, 0.999, 1e-8
 
     def body(state):
-        (view, ea, eb, m, v, t, _, loss_prev, ovf, dem, cnt) = state
+        (view, ea, eb, m, v, t, _, loss_prev, ovf, dem, cnt, best) = state
         (loss, out), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2, 3), has_aux=True
         )(zeros3, zeros3, ea, eb, view)
+        # The loss just computed scores the CURRENT iterate (pre-step);
+        # keep the running argmin (keep_best docstring).
+        better = loss < best[0]
+        best = (
+            jnp.where(better, loss, best[0]),
+            jnp.where(better, view, best[1]),
+            jnp.where(better, ea, best[2]),
+            jnp.where(better, eb, best[3]),
+        )
         # Accumulate overflow from every intermediate render: a truncated
         # render yields truncated pose gradients, so the caller must know
         # even when the final render fits the pool (overflow-replay
@@ -113,7 +134,7 @@ def tracking_run(
             (plateau_rtol > 0) & (cnt >= plateau_patience)
         )
         return (view, ea + d_ea, eb + d_eb, tuple(new_m), tuple(new_v), t,
-                converged, loss, ovf, dem, cnt)
+                converged, loss, ovf, dem, cnt, best)
 
     def cond(state):
         t, converged = state[5], state[6]
@@ -127,10 +148,12 @@ def tracking_run(
         jnp.zeros((), jnp.float32), jnp.array(False), jnp.zeros(()),
         jnp.array(False), jnp.zeros((), jnp.int32),
         jnp.zeros((), jnp.int32),
+        (jnp.full((), jnp.inf, jnp.float32), view, exposure_a, exposure_b),
     )
-    (view, ea, eb, _, _, n_iters, _, loss, ovf, dem, _) = jax.lax.while_loop(
-        cond, body, init
-    )
+    (view, ea, eb, _, _, n_iters, _, loss, ovf, dem, _,
+     best) = jax.lax.while_loop(cond, body, init)
+    if keep_best:
+        loss, view, ea, eb = best
     # Final render at the converged pose: median depth + visibility.
     out = render(track_inputs, view, proj, settings)
     med = L.median_depth(out.depth, out.opacity)
@@ -170,6 +193,9 @@ class FrontEnd:
         # (reference parity: only the ‖tau‖ criterion).
         self.plateau_rtol = float(tr.get("tracking_plateau_rtol", 0.0))
         self.plateau_patience = int(tr.get("tracking_plateau_patience", 5))
+        # Commit the argmin-loss iterate instead of the last one
+        # (tracking_run keep_best docstring); off = reference parity.
+        self.keep_best = bool(tr.get("tracking_best_pose", False))
         self.kf_interval = tr["kf_interval"]
         self.window_size = tr["window_size"]
         self.single_thread = tr["single_thread"]
@@ -223,6 +249,7 @@ class FrontEnd:
                     self.mesh, self.settings, max_iters=max_iters,
                     rgb_threshold=self.rgb_boundary_threshold,
                     plateau_patience=self.plateau_patience,
+                    keep_best=self.keep_best,
                 )
                 (view, ea, eb, n_iters, loss, med, visibility,
                  overflow, demand) = run(
@@ -241,6 +268,7 @@ class FrontEnd:
                     settings=self.settings, max_iters=max_iters,
                     rgb_threshold=self.rgb_boundary_threshold,
                     plateau_patience=self.plateau_patience,
+                    keep_best=self.keep_best,
                 )
             # ONE batched fetch for everything the host consumes: each
             # scalar float()/int() pays its own 50-300 ms tunnel round

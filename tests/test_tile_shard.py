@@ -142,3 +142,80 @@ def test_banded_tracking_run_matches_single_device():
     np.testing.assert_allclose(float(out[4]), float(ref[4]), atol=1e-6)
     np.testing.assert_allclose(float(out[5]), float(ref[5]), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(out[6]), np.asarray(ref[6]))
+
+
+def _tracking_setup():
+    import online_lang_splatting_tpu.ops.lie as lie
+
+    inputs, settings, proj, view = _scene()
+    h, w = settings.image_height, settings.image_width
+    tau = jnp.asarray([0.01, -0.005, 0.008, 0.004, -0.003, 0.002],
+                      jnp.float32)
+    gt_view = lie.se3_exp(tau) @ view
+    gt = render(inputs, gt_view, proj, settings)
+    grad_mask = jnp.ones((1, h, w), jnp.float32)
+    lrs = (jnp.float32(0.002), jnp.float32(0.002), jnp.float32(0.01))
+    return inputs, settings, proj, view, gt.color, gt.depth, grad_mask, lrs
+
+
+def test_tracking_keep_best_returns_argmin_iterate():
+    """keep_best commits the argmin-loss iterate: its loss can never
+    exceed the last-evaluated iterate's, and the returned (view, ea, eb)
+    must REPRODUCE the returned loss when re-evaluated outside the loop
+    (i.e. it is a real visited iterate, not a blend)."""
+    from online_lang_splatting_tpu.slam import losses as L
+    from online_lang_splatting_tpu.slam.frontend import tracking_run
+
+    (inputs, settings, proj, view, gt_image, gt_depth, grad_mask,
+     lrs) = _tracking_setup()
+
+    last = tracking_run(
+        inputs, view, proj, gt_image, gt_depth, grad_mask,
+        jnp.float32(0.0), jnp.float32(0.0), lrs,
+        settings=settings, max_iters=12,
+    )
+    best = tracking_run(
+        inputs, view, proj, gt_image, gt_depth, grad_mask,
+        jnp.float32(0.0), jnp.float32(0.0), lrs,
+        settings=settings, max_iters=12, keep_best=True,
+    )
+    assert float(best[4]) <= float(last[4]) + 1e-7
+    assert int(best[3]) == int(last[3])  # same loop length, different commit
+
+    # Re-evaluate the tracking loss at the returned best iterate.
+    track_inputs = inputs._replace(
+        language=jnp.zeros((inputs.language.shape[0], 0), jnp.float32))
+    out = render(track_inputs, best[0], proj,
+                 settings._replace(stats=False))
+    loss = L.loss_tracking_rgbd(
+        out.color, out.depth, out.opacity, gt_image, gt_depth, grad_mask,
+        best[1], best[2], alpha=0.95, rgb_boundary_threshold=0.01,
+    )
+    # rtol: the in-loop render and this standalone one differ by XLA
+    # fusion/accumulation order (~2.6e-6 relative observed on CPU).
+    np.testing.assert_allclose(float(loss), float(best[4]), rtol=1e-5)
+
+
+def test_banded_tracking_keep_best_matches_single_device():
+    from online_lang_splatting_tpu.slam.frontend import tracking_run
+
+    (inputs, settings, proj, view, gt_image, gt_depth, grad_mask,
+     lrs) = _tracking_setup()
+    ref = tracking_run(
+        inputs, view, proj, gt_image, gt_depth, grad_mask,
+        jnp.float32(0.0), jnp.float32(0.0), lrs,
+        settings=settings, max_iters=12, keep_best=True,
+    )
+    mesh = make_mesh(8)
+    banded_run = make_banded_tracking_run(
+        mesh, settings, max_iters=12, keep_best=True)
+    out = banded_run(
+        inputs, view, proj, gt_image, gt_depth, grad_mask,
+        jnp.float32(0.0), jnp.float32(0.0), lrs,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(ref[0]), atol=1e-5)
+    np.testing.assert_allclose(float(out[1]), float(ref[1]), atol=1e-5)
+    np.testing.assert_allclose(float(out[2]), float(ref[2]), atol=1e-5)
+    assert int(out[3]) == int(ref[3])
+    np.testing.assert_allclose(float(out[4]), float(ref[4]), atol=1e-6)
