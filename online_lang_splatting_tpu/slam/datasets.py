@@ -242,6 +242,15 @@ class SyntheticDataset(BaseDataset):
         # Coarse random texture (texels ~10 px on screen) so Scharr edges
         # are sparse, as the edge_threshold grad-mask heuristic assumes.
         self.tex = self.rng.uniform(0.1, 0.9, size=(8, 8, 3)).astype(np.float32)
+        # Trajectory parameterization: by default the orbit spans t in
+        # [0, 1] over num_frames, so PER-FRAME motion shrinks as the run
+        # lengthens. Long-horizon configs pin `trajectory_frames` to a
+        # shorter run's count (e.g. 120) so per-frame dynamics stay
+        # IDENTICAL and only the horizon extends (t sweeps past 1.0) —
+        # 300-frame drift curves stay comparable to the 120-frame gates.
+        self._traj_n = int(
+            config["Dataset"].get("trajectory_frames", self.n)
+        )
         self.poses = [self._pose(i) for i in range(self.n)]
         # Open-vocabulary GT granularity: 2 = the geometric surfaces
         # (wall/floor — smoke-scale protocol locks depend on the large
@@ -267,7 +276,7 @@ class SyntheticDataset(BaseDataset):
         # ~2 cm translation + ~2.5 deg yaw per frame: comparable to Replica
         # inter-frame motion so reference-style tracking budgets suffice,
         # while the yaw sweep still decays keyframe visibility overlap.
-        t = i / max(self.n - 1, 1)
+        t = i / max(self._traj_n - 1, 1)
         yaw = 0.5 * t
         c, s = np.cos(yaw), np.sin(yaw)
         w2c = np.eye(4, dtype=np.float64)
@@ -301,6 +310,18 @@ class SyntheticDataset(BaseDataset):
         vi = (v * 7.99).astype(np.int32)
         color = self.tex[vi, ui]
         depth = (tt * dirs[..., 2]).astype(np.float32)  # z-depth
+        # Rays that miss both planes (possible once the long-horizon yaw
+        # sweeps past the wall edge, t > ~1.5) return INVALID like a real
+        # RGB-D sensor: depth 0 + black RGB, so the loss masks
+        # (gt_depth > 0.01, valid_rgb) exclude them instead of creating
+        # Gaussians at the 1e6 clamp distance. No t <= 1 frame has any
+        # missed ray (full wall+floor coverage) — pinned numbers hold.
+        # Also range-limit like a depth sensor: grazing rays hit the
+        # infinite floor kilometres out once the yaw passes the wall
+        # edge. 20 m clears every t <= 1 frame (their max is 10.44 m).
+        missed = (tt >= 1e5) | (depth > 20.0)
+        depth[missed] = 0.0
+        color[missed] = 0.0
         color = np.transpose(np.clip(color, 0, 1), (2, 0, 1)).astype(np.float32)
         return color, depth, w2c.astype(np.float32), None, None
 

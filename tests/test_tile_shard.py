@@ -196,6 +196,90 @@ def test_tracking_keep_best_returns_argmin_iterate():
     np.testing.assert_allclose(float(loss), float(best[4]), rtol=1e-5)
 
 
+@pytest.mark.slow
+def test_banded_render_production_shapes():
+    """Single-vs-8-device equivalence at PRODUCTION-like shapes: tile 32,
+    1200x680 frame, >=64k instance bucket (VERDICT r4 #7 — the fast
+    equivalence tests run 48x64/8k toys, so sharding bugs that need real
+    tile-row counts or multi-band instance distributions never fired).
+    Uses the replica-scale calibration and enough Gaussians that every
+    band composites thousands of instances."""
+    p = 6000
+    rng = np.random.default_rng(11)
+    h, w, f = 680, 1200, 600.0
+    inputs = RenderInputs(
+        xyz=jnp.asarray(
+            np.stack([rng.uniform(-3.0, 3.0, p), rng.uniform(-1.8, 1.8, p),
+                      rng.uniform(1.5, 7.0, p)], 1), jnp.float32),
+        opacity=jnp.asarray(rng.uniform(0.2, 0.95, p), jnp.float32),
+        scales=jnp.asarray(rng.uniform(0.01, 0.08, (p, 3)), jnp.float32),
+        quats=jnp.asarray(rng.normal(size=(p, 4)), jnp.float32),
+        shs=jnp.asarray(rng.normal(size=(p, 1, 3)) * 0.3, jnp.float32),
+        language=jnp.asarray(rng.normal(size=(p, 15)) * 0.2, jnp.float32),
+    )
+    q = np.asarray(inputs.quats)
+    inputs = inputs._replace(
+        quats=jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True)))
+    settings = RasterSettings(
+        image_height=h, image_width=w,
+        tanfovx=w / (2 * f), tanfovy=h / (2 * f),
+        sh_degree=0, backend="tpu", max_instances=65536, tile=32,
+    )
+    proj = graphics.projection_matrix(0.01, 100.0, w / 2, h / 2, f, f, w, h)
+    view = jnp.eye(4)
+    mesh = make_mesh(8)
+    banded = make_banded_render(mesh, settings, 15)
+
+    ref = render(inputs, view, proj, settings)
+    out = banded(inputs, view, proj)
+    assert not bool(ref.overflow) and not bool(out.overflow)
+    # Production-scale sanity: this scene must actually stress the bucket
+    # (tens of thousands of instances) and touch every band.
+    assert int(ref.num_instances) > 30000, int(ref.num_instances)
+
+    def close_except_stop_boundary(a, b, atol, max_abs, frac=1e-4):
+        """Band vs single-device blends differ only by f32 accumulation
+        order (chunk boundaries fall differently); at SATURATED pixels
+        that can flip the discrete T < eps early-stop by one instance —
+        a ~1e-3 jump on a vanishing pixel fraction (observed 30 of 2.4M
+        at this scene). Everything else must match to float tolerance."""
+        a, b = np.asarray(a), np.asarray(b)
+        d = np.abs(a - b)
+        assert float(d.max()) <= max_abs, float(d.max())
+        assert (d > atol).mean() <= frac, (d > atol).mean()
+
+    close_except_stop_boundary(out.color, ref.color, 2e-5, 5e-3)
+    close_except_stop_boundary(out.language, ref.language, 2e-5, 5e-3)
+    close_except_stop_boundary(out.depth, ref.depth, 1e-3, 5e-2)
+    close_except_stop_boundary(out.opacity, ref.opacity, 2e-5, 5e-3)
+    nt_d = np.abs(np.asarray(out.n_touched, np.int64)
+                  - np.asarray(ref.n_touched, np.int64))
+    assert (nt_d > 0).mean() <= 1e-3 and nt_d.max() <= 4, (
+        (nt_d > 0).mean(), nt_d.max())
+
+    # One banded tracking step at the same scale (pose grads psum'd over
+    # all 8 bands of the real tile grid).
+    gt = render(inputs, view, proj, settings)
+    banded_run = make_banded_tracking_run(mesh, settings, max_iters=2)
+    from online_lang_splatting_tpu.slam.frontend import tracking_run
+
+    lrs = (jnp.float32(0.002), jnp.float32(0.002), jnp.float32(0.01))
+    reft = tracking_run(
+        inputs, view, proj, gt.color, gt.depth,
+        jnp.ones((1, h, w), jnp.float32),
+        jnp.float32(0.0), jnp.float32(0.0), lrs,
+        settings=settings, max_iters=2,
+    )
+    outt = banded_run(
+        inputs, view, proj, gt.color, gt.depth,
+        jnp.ones((1, h, w), jnp.float32),
+        jnp.float32(0.0), jnp.float32(0.0), lrs,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outt[0]), np.asarray(reft[0]), atol=1e-5)
+    np.testing.assert_allclose(float(outt[4]), float(reft[4]), rtol=1e-5)
+
+
 def test_banded_tracking_keep_best_matches_single_device():
     from online_lang_splatting_tpu.slam.frontend import tracking_run
 
