@@ -43,6 +43,12 @@ def main():
                     "one fixed tree — VERDICT r4 #2)")
     ap.add_argument("--no-prefetch", action="store_true",
                     help="disable dataset+camera prefetch threads")
+    ap.add_argument("--track-best", choices=["on", "off"], default=None,
+                    help="override Training.tracking_best_pose (commit "
+                    "the argmin-loss tracking iterate)")
+    ap.add_argument("--plateau", type=float, default=None,
+                    help="override Training.tracking_plateau_rtol (loss-"
+                    "plateau tracking exit; 0 = reference parity)")
     ap.add_argument("--tag", type=str, default=None,
                     help="label recorded in the result JSON")
     args = ap.parse_args()
@@ -63,6 +69,10 @@ def main():
         config["Training"]["motion_model"] = args.motion_model
     if args.no_prefetch:
         config["Dataset"]["prefetch"] = False
+    if args.track_best is not None:
+        config["Training"]["tracking_best_pose"] = args.track_best == "on"
+    if args.plateau is not None:
+        config["Training"]["tracking_plateau_rtol"] = args.plateau
     t0 = time.time()
     slam = SLAM(config)
     slam.run(max_frames=args.max_frames)
@@ -125,6 +135,12 @@ def main():
         ).stdout.strip(),
         "motion_model": config["Training"].get("motion_model", "static"),
         "prefetch": not args.no_prefetch,
+        "track_best": bool(
+            config["Training"].get("tracking_best_pose", False)
+        ),
+        "plateau_rtol": float(
+            config["Training"].get("tracking_plateau_rtol", 0.0)
+        ),
         "blend_chunk": os.environ.get("OLS_BLEND_CHUNK", "256"),
         "frames": n_frames,
         "keyframes": len(fe.kf_indices),
