@@ -60,11 +60,20 @@ PER_TILE_CULL = _os.environ.get("OLS_TILE_CULL", "1") != "0"
 #   "hybrid" — per-chunk lax.cond: single-segment chunks take the baseline
 #              body (with its dead-tail skip), multi-segment chunks the
 #              vectorized body. The production candidate.
+#   "bwd-hybrid" — hybrid in the BACKWARD kernel only; forward keeps the
+#              baseline loop. Round-4 hardware showed full hybrid LOSES
+#              (+6% saturated): the fwd's per-segment body is lean (alpha
+#              chain + scan + one matmul) so vectorization overhead
+#              (per-row tile origins, masked matmuls, 2 extra scratch
+#              blocks) outweighs the saved passes there — but the bwd's
+#              per-segment body also pays gdot + wG scan + dalpha + geom
+#              rows + dfeat, so the same collapse saves ~2x more per
+#              segment. Round-5 A/B candidate.
 # Default stays "off" until the hardware A/B (tools/hw_queue.sh) replays
 # golden parity and times stage 7 under OLS_MULTISEG=hybrid.
 _ms = _os.environ.get("OLS_MULTISEG", "off")
 MULTISEG = {"0": "off", "1": "on"}.get(_ms, _ms)
-assert MULTISEG in ("off", "on", "hybrid"), MULTISEG
+assert MULTISEG in ("off", "on", "hybrid", "bwd-hybrid"), MULTISEG
 
 # Prefix-scan implementation inside the blend kernels
 # (tiled._composite / tiled._vec_chunk_state / the backward wG prefix):

@@ -923,7 +923,9 @@ def _blend_fwd_impl(xy, conic, opacity, color, lang, depth, s_gid, s_tile,
     kern = functools.partial(
         _fwd_kernel, tiles_x=tiles_x, num_tiles=num_tiles, tile=tile,
         pix=pix, f_pad=f_pad, f_out=f_out, width=width,
-        num_chunks=num_chunks, stats=stats, multiseg=multiseg,
+        num_chunks=num_chunks, stats=stats,
+        # "bwd-hybrid" vectorizes only the backward (config.MULTISEG).
+        multiseg=("off" if multiseg == "bwd-hybrid" else multiseg),
         scan_mxu=(scan_mxu == "all"),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1013,16 +1015,17 @@ def _blend_bwd(tile, width, height, grad_reduce, stats, multiseg,
     tile_rows = s_tile.reshape(1, cap)
     f_lang = lang.shape[1]
 
+    ms_bwd = "hybrid" if multiseg == "bwd-hybrid" else multiseg
     kern = functools.partial(
         _bwd_kernel, tiles_x=tiles_x, num_tiles=num_tiles, tile=tile,
         pix=pix, f_pad=f_pad, f_out=f_out, width=width,
-        num_chunks=num_chunks, multiseg=multiseg,
+        num_chunks=num_chunks, multiseg=ms_bwd,
         scan_mxu=(scan_mxu in ("bwd", "all")),
     )
     # The vectorized multi-segment path needs two full-chunk scratch
     # blocks: the accumulated gdot and the per-row entry carries.
     ms_scratch = (
-        [] if multiseg == "off"
+        [] if ms_bwd == "off"
         else [pltpu.VMEM((CHUNK, pix), jnp.float32),
               pltpu.VMEM((CHUNK, pix), jnp.float32)]
     )
@@ -1182,7 +1185,7 @@ def blend_tiled(
     assert grad_reduce in ("scatter", "emission"), grad_reduce
     if multiseg is None:
         multiseg = C.MULTISEG
-    assert multiseg in ("off", "on", "hybrid"), multiseg
+    assert multiseg in ("off", "on", "hybrid", "bwd-hybrid"), multiseg
     if scan_mxu is None:
         scan_mxu = C.SCAN_MXU
     assert scan_mxu in ("off", "bwd", "all"), scan_mxu

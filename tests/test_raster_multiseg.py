@@ -18,7 +18,7 @@ from helpers import random_scene
 from raster_fixtures import SCENES, render_scene
 from online_lang_splatting_tpu.ops.raster import rasterize
 
-MODES = ("on", "hybrid")
+MODES = ("on", "hybrid", "bwd-hybrid")
 
 FLOAT_FIELDS = ("color", "language", "depth", "opacity", "final_t")
 INT_FIELDS = ("radii", "n_touched", "n_contrib")
@@ -177,16 +177,17 @@ def test_overflow_truncation_parity(mode):
         )
 
 
+@pytest.mark.parametrize("mode", ["hybrid", "bwd-hybrid"])
 @pytest.mark.parametrize("name", sorted(SCENES))
-def test_goldens_hybrid(name):
-    """The hybrid path must hit the same pinned goldens as the baseline
+def test_goldens_hybrid(name, mode):
+    """The hybrid paths must hit the same pinned goldens as the baseline
     (adversarial edge cases: alpha clamp, T cutoff, >1-chunk tiles,
     multi-tile splats, degenerate conics)."""
     from pathlib import Path
 
     f = Path(__file__).parent / "goldens" / f"{name}.npz"
     golden = np.load(f)
-    got = render_scene(SCENES[name](), "tpu", multiseg="hybrid")
+    got = render_scene(SCENES[name](), "tpu", multiseg=mode)
     for key in golden.files:
         g, r = got[key], golden[key]
         if key in {"radii", "n_touched", "n_contrib"}:
