@@ -52,6 +52,16 @@ GELU_MODE = os.environ.get("OLS_GELU", "tanh")
 # order differs.
 STEM_MODE = os.environ.get("OLS_STEM", "conv")
 
+# OLS_HEAD=flat reshapes the per-location CLIP projection head's input
+# (N, 24, 24, 1536) to one (N*576, 1536) matrix so the two Dense layers
+# lower as plain GEMMs instead of 1x1 convs over a tiny spatial grid.
+# Mathematically identical (Dense contracts only the last dim). Round-5
+# A/B: the r4 profile's "head 9.9 ms standalone" row actually timed the
+# WHOLE tower (clip_vis_dense depends on res5) — the true in-tower head
+# cost is the full-tower minus trunk diff (~sub-ms); this knob checks
+# whether even that remainder is lowering-limited.
+HEAD_MODE = os.environ.get("OLS_HEAD", "mlp")
+
 
 def _gelu(x, mode: str = "erf"):
     return jax.nn.gelu(x, approximate=(mode == "tanh"))
@@ -162,6 +172,7 @@ class ConvNeXtCLIPVisual(nn.Module):
     embed_dim: int = EMBED_DIM
     stem_mode: str = STEM_MODE
     gelu_mode: str = GELU_MODE
+    head_mode: str = HEAD_MODE
 
     @nn.compact
     def __call__(self, x):
@@ -177,10 +188,16 @@ class ConvNeXtCLIPVisual(nn.Module):
             out[f"res{i + 2}"] = x
         # Per-location CLIP projection head (norm_pre is Identity for
         # convnext_large; the trunk head LayerNorm comes first).
-        y = nn.LayerNorm(epsilon=1e-6, name="head_norm")(x)
+        y = x
+        if self.head_mode == "flat":
+            n, h, w, c = y.shape
+            y = y.reshape(n * h * w, c)
+        y = nn.LayerNorm(epsilon=1e-6, name="head_norm")(y)
         y = nn.Dense(2 * self.embed_dim, name="head_fc1")(y)
         y = _gelu(y, self.gelu_mode)
         y = nn.Dense(self.embed_dim, use_bias=False, name="head_fc2")(y)
+        if self.head_mode == "flat":
+            y = y.reshape(x.shape[0], x.shape[1], x.shape[2], -1)
         out["clip_vis_dense"] = y
         return out
 

@@ -28,9 +28,15 @@ DEFAULT_TILE = int(_os.environ.get("OLS_TILE", "16"))
 
 # Instances per blend-kernel grid step; instance buckets are quantized to
 # 8 chunks (tiled.CHUNK re-exports this). Env-toggleable for hardware
-# A/B probes (512 measured WORSE in round 2 — padding and VPU working
-# set outgrow the win; 128 untested).
-BLEND_CHUNK = int(_os.environ.get("OLS_BLEND_CHUNK", "256"))
+# A/B probes. Hardware verdicts: 512 WORSE (round 2 — padding and VPU
+# working set outgrow the win); 128 WINS the production regime (tile 32,
+# demand-sized 221k bucket: fwd+bwd 25.7 vs 29.3 ms, hwq_r4l phase L —
+# at tile 32 the pixel block is 4x the t16 one, so halving the instance
+# chunk halves the scan working set while the 7-vs-8 Hillis-Steele step
+# count barely grows) and is a wash saturated (162.8 vs 158.8 ms at the
+# 1M bucket, hwq_r4m 122/123); golden parity replayed clean on hardware
+# at c128 (hwq_r4m 120). Default flipped to 128 in round 5.
+BLEND_CHUNK = int(_os.environ.get("OLS_BLEND_CHUNK", "128"))
 
 # Blend-loop numerics (forward.cu:464-485).
 ALPHA_MAX = 0.99

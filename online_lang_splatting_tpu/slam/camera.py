@@ -76,6 +76,10 @@ class Camera:
     coco_lang_feat: Any = None  # (N, 32) two-stage cached codes
     lang_feat_mask: Any = None
     image_host: Any = None      # optional (3, H, W) host copy (numpy)
+    depth_dev: Any = None       # (1, H, W) device copy of `depth` —
+    # uploaded off the tracking critical path (CameraPrefetcher thread):
+    # the eager jnp.asarray(depth) in track() paid a ~3.3 MB tunnel
+    # transfer per frame.
 
     def __post_init__(self):
         if self.r is None:
@@ -120,11 +124,17 @@ class Camera:
             self.image, config["Dataset"]["type"] == "replica", 32, 32,
             jnp.float32(edge_threshold),
         )
+        # Piggyback the tracking-loss depth upload on the same prefetched
+        # build (runs in the CameraPrefetcher worker, overlapped with the
+        # previous frame's tracking compute).
+        if self.depth is not None:
+            self.depth_dev = jnp.asarray(self.depth)[None]
 
     def clean(self):
         self.image = None
         self.image_host = None
         self.depth = None
+        self.depth_dev = None
         self.grad_mask = None
         self.gt_lang_feat = None
         self.coco_lang_feat = None

@@ -234,13 +234,26 @@ class FrontEnd:
         if self.use_gt_pose:
             cam.update_rt(cam.r_gt, cam.t_gt)
 
-        view0 = jnp.asarray(cam.world_view_transform)
-        gt_depth = jnp.asarray(cam.depth)[None]
-        lrs = (jnp.float32(self.lr_trans), jnp.float32(self.lr_rot),
-               jnp.float32(0.01))
+        import os as _os
+        import time as _time
+
+        timing = _os.environ.get("OLS_TRACK_TIMING")
+        # Small args stay numpy: they ride the dispatch's argument batch
+        # instead of paying an eager per-array tunnel transfer each.
+        view0 = np.asarray(cam.world_view_transform, np.float32)
+        # The depth upload is prefetched (camera.compute_grad_mask in the
+        # CameraPrefetcher worker); fall back to an inline upload for
+        # cameras built without prefetch.
+        gt_depth = (
+            cam.depth_dev if cam.depth_dev is not None
+            else jnp.asarray(cam.depth)[None]
+        )
+        lrs = (np.float32(self.lr_trans), np.float32(self.lr_rot),
+               np.float32(0.01))
         max_iters = 1 if self.use_gt_pose else self.tracking_itr_num
         # On raster instance-pool overflow: grow the bucket and REDO the
         # whole frame (truncated renders would corrupt the pose estimate).
+        t_disp = 0.0
         for _attempt in range(4):
             if self.mesh is not None:
                 from ..parallel.tile_shard import make_banded_tracking_run
@@ -259,25 +272,35 @@ class FrontEnd:
                     jnp.float32(self.plateau_rtol),
                 )
             else:
+                t_disp = _time.time()
                 (view, ea, eb, n_iters, loss, med, visibility,
                  overflow, demand) = tracking_run(
                     self.render_inputs, view0, proj, cam.image, gt_depth,
-                    cam.grad_mask, jnp.asarray(cam.exposure_a, jnp.float32),
-                    jnp.asarray(cam.exposure_b, jnp.float32), lrs,
-                    jnp.float32(self.plateau_rtol),
+                    cam.grad_mask, np.float32(cam.exposure_a),
+                    np.float32(cam.exposure_b), lrs,
+                    np.float32(self.plateau_rtol),
                     settings=self.settings, max_iters=max_iters,
                     rgb_threshold=self.rgb_boundary_threshold,
                     plateau_patience=self.plateau_patience,
                     keep_best=self.keep_best,
                 )
+                t_disp = _time.time() - t_disp
             # ONE batched fetch for everything the host consumes: each
             # scalar float()/int() pays its own 50-300 ms tunnel round
             # trip; batching them is the same trick as the backend's
             # chunk fetches (CLAUDE.md, backend.py).
+            t_fetch = _time.time()
             (view, ea, eb, n_iters, loss, med, visibility, overflow,
              demand) = jax.device_get(
                 (view, ea, eb, n_iters, loss, med, visibility, overflow,
                  demand))
+            if timing:
+                print(f"[track-timing] frame={cam.uid} "
+                      f"dispatch={t_disp:.3f}s "
+                      f"fetch={_time.time() - t_fetch:.3f}s "
+                      f"iters={int(n_iters)} "
+                      f"depth_prefetched={cam.depth_dev is not None}",
+                      flush=True)
             if not bool(overflow):
                 break
             # Demand-sized growth (grow_bucket docstring): land on the

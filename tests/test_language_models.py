@@ -586,3 +586,30 @@ class TestStemKnob:
         out = jax.jit(stem.apply)({"params": params}, x)
         assert out.dtype == jnp.bfloat16
         assert out.shape == (1, 4, 4, 16)
+
+
+class TestHeadKnob:
+    def test_head_flat_matches_mlp(self):
+        """OLS_HEAD=flat (reshape the projection head to one (N*H*W, C)
+        GEMM) is mathematically identical to the NHWC form — Dense
+        contracts only the last dim; parity is exact up to reassociation
+        rounding. Same parameter shapes/paths (checkpoint compat)."""
+        import online_lang_splatting_tpu.models.convnext_clip as cc
+
+        g = np.random.default_rng(11)
+        img = jnp.asarray(g.normal(size=(2, 64, 64, 3)), jnp.float32)
+        mlp_tower = cc.ConvNeXtCLIPVisual(
+            depths=(2, 2, 2, 2), dims=(16, 32, 64, 128), embed_dim=32,
+            head_mode="mlp",
+        )
+        params = mlp_tower.init(jax.random.key(3), img)["params"]
+        flat_tower = cc.ConvNeXtCLIPVisual(
+            depths=(2, 2, 2, 2), dims=(16, 32, 64, 128), embed_dim=32,
+            head_mode="flat",
+        )
+        ref = np.asarray(
+            mlp_tower.apply({"params": params}, img)["clip_vis_dense"])
+        alt = np.asarray(
+            flat_tower.apply({"params": params}, img)["clip_vis_dense"])
+        assert alt.shape == ref.shape
+        np.testing.assert_allclose(alt, ref, rtol=1e-5, atol=1e-6)

@@ -110,14 +110,22 @@ def main() -> int:
         (frame,), args.iters))
 
     # Trunk: stem + stages only (head excluded via res5 output).
-    report("trunk", _med_time(
+    trunk_s = _med_time(
         lambda p, x: ex.visual.apply({"params": p}, x)["res5"],
-        (ex.visual_params, x768), args.iters), flops=809e9)
+        (ex.visual_params, x768), args.iters)
+    report("trunk", trunk_s, flops=809e9)
 
-    report("head", _med_time(
+    # clip_vis_dense depends on res5, so this row is the WHOLE tower
+    # (trunk + projection head) — the r4 PERF table's "head 9.9 ms
+    # standalone" misread it as head-only (VERDICT r5 #8).
+    tower_s = _med_time(
         lambda p, x: ex.visual.apply(
             {"params": p}, x)["clip_vis_dense"],
-        (ex.visual_params, x768), args.iters))
+        (ex.visual_params, x768), args.iters)
+    report("tower_full", tower_s)
+    # The true in-tower head cost: the 24x24x(1536->1536->768) MLP diff.
+    # Can go slightly negative under relay timing noise.
+    report("head_diff", max(tower_s - trunk_s, 0.0))
 
     hr_in = (feats["clip_vis_dense"], feats["res3"], feats["res2"])
     # Reuse ex's weight trees: re-initializing ConvNeXt-L per variant

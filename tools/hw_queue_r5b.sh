@@ -17,7 +17,7 @@ set -u
 LOG=${1:-/tmp/hwq_r5b}
 mkdir -p "$LOG"
 cd "$(dirname "$0")/.."
-export OLS_BLEND_CHUNK=${OLS_BLEND_CHUNK:-256}
+export OLS_BLEND_CHUNK=${OLS_BLEND_CHUNK:-128}
 echo "blend chunk: $OLS_BLEND_CHUNK"
 
 step() {
