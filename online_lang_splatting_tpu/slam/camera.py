@@ -51,6 +51,11 @@ def _grad_mask_device(image, is_replica: bool, rows: int, cols: int,
     return full.at[: rows * bh, : cols * bw].set(out)[None]
 
 
+@jax.jit
+def _u8_to_unit(u8):
+    return u8.astype(jnp.float32) / 255.0
+
+
 @dataclasses.dataclass
 class Camera:
     uid: int
@@ -90,9 +95,16 @@ class Camera:
     @classmethod
     def from_dataset(cls, dataset, idx: int) -> "Camera":
         color, depth, pose, gt_lang, lang_mask = dataset[idx]
+        if getattr(dataset, "upload_u8", False):
+            # 4x less tunnel traffic: ship u8, divide on device. Within
+            # 1 ulp for u8-source datasets (datasets.BaseDataset.upload_u8).
+            u8 = np.clip(color * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
+            image = _u8_to_unit(jnp.asarray(u8))
+        else:
+            image = jnp.asarray(color)
         cam = cls(
             uid=idx,
-            image=jnp.asarray(color),
+            image=image,
             depth=depth,
             r_gt=pose[:3, :3].astype(np.float32),
             t_gt=pose[:3, 3].astype(np.float32),

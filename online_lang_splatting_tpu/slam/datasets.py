@@ -66,6 +66,15 @@ class BaseDataset:
                 k, self.dist_coeffs, np.eye(3), k,
                 (self.width, self.height), cv2.CV_32FC1,
             )
+        # upload_u8: ship frame pixels to the device as uint8 and divide
+        # by 255 on-device (Camera.from_dataset) — 4x less remote-tunnel
+        # traffic than the f32 image (the r5a A/B showed the ~10 MB/frame
+        # upload running anywhere from ~20 MB/s to ~2 MB/s with relay
+        # load, dominating the "data" phase at the slow end). Within
+        # 1 ulp for u8-source datasets (XLA lowers /255 to a reciprocal
+        # multiply); off by default — the synthetic scenes' float
+        # textures would quantize, perturbing pinned gate numbers.
+        self.upload_u8 = bool(config["Dataset"].get("upload_u8", False))
         self.color_paths: list[str] = []
         self.depth_paths: list[str] = []
         self.poses: list[np.ndarray] = []

@@ -169,3 +169,39 @@ def test_euroc_rectification_and_depth(tmp_path, monkeypatch):
     assert np.allclose(depth[:, :32], 12.0)
     assert np.allclose(depth[:, 32:64], 48.0 / 1e10)
     assert np.allclose(depth[:, 64:], 0.0)
+
+
+def test_upload_u8_camera_exact():
+    """Dataset.upload_u8 ships frame pixels as uint8 and divides on
+    device — within 1 ulp of the f32 upload when the source pixels are
+    u8/255 (every real RGB dataset; XLA lowers /255 to a reciprocal
+    multiply, 1-ulp vs numpy's divide), 4x less tunnel traffic."""
+    import jax.numpy as jnp
+
+    from online_lang_splatting_tpu.slam.camera import Camera
+
+    rng = np.random.default_rng(5)
+    u8 = rng.integers(0, 256, size=(3, 12, 16), dtype=np.uint8)
+    color = u8.astype(np.float32) / 255.0
+    depth = np.ones((12, 16), np.float32)
+    pose = np.eye(4, dtype=np.float32)
+
+    class _Stub:
+        fx = fy = 10.0
+        cx = 8.0
+        cy = 6.0
+        fovx = fovy = 1.0
+        height = 12
+        width = 16
+
+        def __init__(self, upload_u8):
+            self.upload_u8 = upload_u8
+
+        def __getitem__(self, idx):
+            return color, depth, pose, None, None
+
+    cam_f32 = Camera.from_dataset(_Stub(False), 0)
+    cam_u8 = Camera.from_dataset(_Stub(True), 0)
+    a, b = np.asarray(cam_u8.image), np.asarray(cam_f32.image)
+    assert np.abs(a - b).max() <= 6e-8  # 1 ulp at [0, 1] scale
+    assert jnp.issubdtype(cam_u8.image.dtype, jnp.floating)
