@@ -303,3 +303,46 @@ def test_banded_tracking_keep_best_matches_single_device():
     np.testing.assert_allclose(float(out[2]), float(ref[2]), atol=1e-5)
     assert int(out[3]) == int(ref[3])
     np.testing.assert_allclose(float(out[4]), float(ref[4]), atol=1e-6)
+
+
+def test_tracking_plateau_exit_shortens_loop():
+    """plateau_rtol > 0 adds a loss-plateau exit: with a generous rtol
+    and patience the loop must end EARLIER than the full budget (Adam's
+    ~lr-sized steps keep ||tau|| above the reference exit long after the
+    loss stops moving), and a plateau-exited pose must still track (its
+    loss below the initial-pose loss). plateau_rtol=0.0 preserves
+    reference behavior — same iterate count as the default."""
+    from online_lang_splatting_tpu.slam.frontend import tracking_run
+
+    (inputs, settings, proj, view, gt_image, gt_depth, grad_mask,
+     lrs) = _tracking_setup()
+
+    base = tracking_run(
+        inputs, view, proj, gt_image, gt_depth, grad_mask,
+        jnp.float32(0.0), jnp.float32(0.0), lrs,
+        settings=settings, max_iters=40,
+    )
+    zero = tracking_run(
+        inputs, view, proj, gt_image, gt_depth, grad_mask,
+        jnp.float32(0.0), jnp.float32(0.0), lrs, jnp.float32(0.0),
+        settings=settings, max_iters=40, plateau_patience=3,
+    )
+    assert int(zero[3]) == int(base[3])  # rtol=0: reference parity
+
+    plat = tracking_run(
+        inputs, view, proj, gt_image, gt_depth, grad_mask,
+        jnp.float32(0.0), jnp.float32(0.0), lrs, jnp.float32(0.5),
+        settings=settings, max_iters=40, plateau_patience=3,
+    )
+    assert int(plat[3]) < int(base[3])
+    assert np.isfinite(float(plat[4]))
+
+    # Combined with keep_best (the r5b hardware configuration).
+    combo = tracking_run(
+        inputs, view, proj, gt_image, gt_depth, grad_mask,
+        jnp.float32(0.0), jnp.float32(0.0), lrs, jnp.float32(0.05),
+        settings=settings, max_iters=40, plateau_patience=3,
+        keep_best=True,
+    )
+    assert np.isfinite(float(combo[4]))
+    assert float(combo[4]) <= float(plat[4]) + 1e-6
