@@ -141,7 +141,10 @@ def main():
         "plateau_rtol": float(
             config["Training"].get("tracking_plateau_rtol", 0.0)
         ),
-        "blend_chunk": os.environ.get("OLS_BLEND_CHUNK", "256"),
+        "blend_chunk": __import__(
+            "online_lang_splatting_tpu.ops.raster.config",
+            fromlist=["BLEND_CHUNK"],
+        ).BLEND_CHUNK,
         "frames": n_frames,
         "keyframes": len(fe.kf_indices),
         "gaussians": int(np.asarray(be.aux.active).sum()),
