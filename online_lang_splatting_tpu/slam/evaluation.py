@@ -60,6 +60,17 @@ def eval_ate(cameras: dict, kf_indices, save_dir=None, iterations=0,
              final=False) -> float:
     frames = sorted(kf_indices) if not final else sorted(cameras.keys())
     frames = [i for i in frames if i in cameras]
+    # Drop non-finite estimates rather than crashing deep in the SVD: a
+    # diverged tracker (e.g. a long-horizon run whose late frames sweep
+    # off the mapped scene) should record a number for the frames that
+    # tracked, with a loud warning — not kill an hour-long gate run.
+    bad = [i for i in frames
+           if not (np.isfinite(cameras[i].r).all()
+                   and np.isfinite(cameras[i].t).all())]
+    if bad:
+        print(f"[eval_ate] WARNING: {len(bad)}/{len(frames)} keyframe "
+              f"poses non-finite (first {bad[:5]}); scoring the rest")
+        frames = [i for i in frames if i not in set(bad)]
     est = [np.asarray(_w2c(cameras[i].r, cameras[i].t)) for i in frames]
     gt = [np.asarray(_w2c(cameras[i].r_gt, cameras[i].t_gt)) for i in frames]
     if len(frames) < 3:

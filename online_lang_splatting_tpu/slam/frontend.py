@@ -314,9 +314,21 @@ class FrontEnd:
                   f"{self.settings.max_instances}; redoing frame")
         if not self.use_gt_pose:
             v = np.asarray(view)
-            cam.update_rt(v[:3, :3], v[:3, 3])
-            cam.exposure_a = float(ea)
-            cam.exposure_b = float(eb)
+            if np.isfinite(v).all():
+                cam.update_rt(v[:3, :3], v[:3, 3])
+                cam.exposure_a = float(ea)
+                cam.exposure_b = float(eb)
+            else:
+                # Never commit a diverged pose (e.g. a frame whose valid
+                # pixels vanished once the trajectory swept off the mapped
+                # scene): keep the init pose — already written to cam by
+                # the motion model above — and reset exposure. The next
+                # frame restarts from a finite estimate instead of
+                # cascading NaNs through cv extrapolation and the map.
+                print(f"[frontend] WARNING: non-finite tracked pose at "
+                      f"frame {cam.uid}; keeping motion-model init")
+                cam.exposure_a = 0.0
+                cam.exposure_b = 0.0
         self.track_iters.append(int(n_iters))
         self.track_losses.append(float(loss))
         self.median_depth = float(med)
