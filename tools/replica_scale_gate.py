@@ -53,9 +53,23 @@ def main():
                     help="label recorded in the result JSON")
     args = ap.parse_args()
 
+    import os
+
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    if os.environ.get("OLS_PLATFORM"):
+        # Honor an explicit CPU request (the axon sitecustomize
+        # force-registers the TPU) — lets the gate protocol run CPU-side
+        # drift studies (configs/synthetic/smoke_drift.yaml) during
+        # tunnel outages.
+        jax.config.update("jax_platforms", os.environ["OLS_PLATFORM"])
+        jax.config.update(
+            "jax_compilation_cache_dir", str(REPO / ".jax_cache_cpu")
+        )
+    else:
+        jax.config.update(
+            "jax_compilation_cache_dir", str(REPO / ".jax_cache")
+        )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
