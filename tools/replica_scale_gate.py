@@ -51,6 +51,9 @@ def main():
                     "plateau tracking exit; 0 = reference parity)")
     ap.add_argument("--tag", type=str, default=None,
                     help="label recorded in the result JSON")
+    ap.add_argument("--use-gt-pose", action="store_true",
+                    help="track with ground-truth poses (drift diagnosis: "
+                    "isolates mapping quality from tracking error)")
     args = ap.parse_args()
 
     import os
@@ -87,6 +90,8 @@ def main():
         config["Training"]["tracking_best_pose"] = args.track_best == "on"
     if args.plateau is not None:
         config["Training"]["tracking_plateau_rtol"] = args.plateau
+    if args.use_gt_pose:
+        config["Training"]["use_gt_pose"] = True
     t0 = time.time()
     slam = SLAM(config)
     slam.run(max_frames=args.max_frames)
@@ -99,6 +104,16 @@ def main():
     metrics = evaluation.eval_rendering(slam)
     psnr = metrics["mean_psnr"]
     ate = float(evaluation.eval_ate(fe.cameras, fe.kf_indices))
+    # Drift curve: ATE over keyframe PREFIXES (each its own umeyama
+    # alignment) — shows whether long-horizon error grows gradually
+    # (accumulating tracking drift) or jumps (a tracking failure / map
+    # event). Pure host math on recorded poses; no device cost.
+    kfs_sorted = sorted(fe.kf_indices)
+    ate_curve = [
+        [int(kfs_sorted[k - 1]),
+         round(float(evaluation.eval_ate(fe.cameras, kfs_sorted[:k])), 5)]
+        for k in range(3, len(kfs_sorted) + 1)
+    ]
 
     # Language-map L1: render each keyframe's 15-d map and compare to its
     # cached supervision (resized), like the mapping loss does.
@@ -166,8 +181,10 @@ def main():
         "fps": round(n_frames / wall, 4),
         "phase_times": {k: round(v, 1)
                         for k, v in slam.phase_times.items()},
+        "use_gt_pose": bool(args.use_gt_pose),
         "psnr": round(psnr, 2),
         "ate": round(ate, 5),
+        "ate_curve": ate_curve,
         "lang_l1": round(lang_l1_mean, 5),
         "tracking": track_stats,
         "gates": {
