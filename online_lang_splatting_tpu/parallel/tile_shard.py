@@ -239,14 +239,14 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
         return jax.lax.psum(loss, "dp"), (out.overflow, out.num_instances)
 
     def local(inputs, view, proj, gt_image_p, gt_depth_p, grad_mask_p,
-              exposure_a, exposure_b, lrs, plateau_rtol):
+              exposure_a, exposure_b, lrs, plateau_rtol, lr_decay):
         k = jax.lax.axis_index("dp")
         zeros3 = jnp.zeros(3, jnp.float32)
         lr_list = [lrs[0], lrs[1], lrs[2], lrs[2]]
         b1, b2, eps = 0.9, 0.999, 1e-8
 
         def body(state):
-            (view, ea, eb, m, v, t, _, loss_prev, ovf, dem, cnt,
+            (view, ea, eb, m, v, t, _, loss_prev, ovf, dem, cnt, lr_scale,
              best) = state
             (loss, (o, nd)), grads = jax.value_and_grad(
                 lambda rho, theta, ea, eb, view: band_loss(
@@ -255,6 +255,9 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
                 ),
                 argnums=(0, 1, 2, 3), has_aux=True,
             )(zeros3, zeros3, ea, eb, view)
+            # Improvement-vs-best plateau signal (frontend.tracking_run
+            # docstring); loss is psum'd, so it is chip-identical.
+            improved = loss < best[0] * (1 - plateau_rtol)
             # Running argmin-loss iterate (frontend.tracking_run keep_best
             # docstring); loss is psum'd, so the argmin is chip-identical.
             better = loss < best[0]
@@ -278,7 +281,7 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
                 mi = b1 * mi + (1 - b1) * g
                 vi = b2 * vi + (1 - b2) * g * g
                 steps.append(
-                    -lr * (mi / (1 - b1**t))
+                    -lr * lr_scale * (mi / (1 - b1**t))
                     / (jnp.sqrt(vi / (1 - b2**t)) + eps)
                 )
                 new_m.append(mi)
@@ -286,18 +289,19 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
             trans_d, rot_d, d_ea, d_eb = steps
             tau = jnp.concatenate([trans_d, rot_d])
             view = lie.se3_exp(tau) @ view
-            # Loss-plateau exit (frontend.tracking_run docstring); the
-            # loss is psum'd, so the counter advances identically on
-            # every chip.
-            plateau = jnp.abs(loss - loss_prev) < plateau_rtol * (
-                jnp.maximum(loss_prev, 1e-12)
-            )
-            cnt = jnp.where(plateau, cnt + 1, 0)
+            # Loss-plateau exit / reduce-lr-on-plateau
+            # (frontend.tracking_run docstring); the loss is psum'd, so
+            # counter and lr_scale advance identically on every chip.
+            cnt = jnp.where(improved, 0, cnt + 1)
+            trigger = (plateau_rtol > 0) & (cnt >= plateau_patience)
+            cut = trigger & (lr_decay < 1)
+            lr_scale = jnp.where(cut, lr_scale * lr_decay, lr_scale)
+            cnt = jnp.where(cut, 0, cnt)
             converged = (jnp.linalg.norm(tau) < 1e-4) | (
-                (plateau_rtol > 0) & (cnt >= plateau_patience)
+                trigger & (lr_decay >= 1)
             )
             return (view, ea + d_ea, eb + d_eb, tuple(new_m), tuple(new_v),
-                    t, converged, loss, ovf, dem, cnt, best)
+                    t, converged, loss, ovf, dem, cnt, lr_scale, best)
 
         def cond(state):
             t, converged = state[5], state[6]
@@ -310,12 +314,12 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
             (z3, z3, zs, zs), (z3, z3, zs, zs),
             jnp.zeros((), jnp.float32), jnp.array(False), jnp.zeros(()),
             jnp.array(False), jnp.zeros((), jnp.int32),
-            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.ones((), jnp.float32),
             (jnp.full((), jnp.inf, jnp.float32), view, exposure_a,
              exposure_b),
         )
         (view, ea, eb, _, _, n_iters, _, loss, ovf,
-         dem, _, best) = jax.lax.while_loop(cond, body, init)
+         dem, _, _, best) = jax.lax.while_loop(cond, body, init)
         if keep_best:
             loss, view, ea, eb = best
         # Final render at the converged pose (band), assembled outside.
@@ -331,7 +335,7 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
 
     sharded = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
         out_specs=(
             P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
             P(None, "dp", None), P(None, "dp", None), P("dp"), P("dp"),
@@ -341,7 +345,7 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
     )
 
     def fn(inputs: RenderInputs, view, proj, gt_image, gt_depth, grad_mask,
-           exposure_a, exposure_b, lrs, plateau_rtol=0.0):
+           exposure_a, exposure_b, lrs, plateau_rtol=0.0, lr_decay=1.0):
         # Language channels dropped like tracking_run (loss never reads
         # them) and gt frames padded to the band grid (padding rows carry
         # zero gt → masked out of every loss term).
@@ -359,6 +363,7 @@ def make_banded_tracking_run(mesh: Mesh, settings: RasterSettings,
             padh(gt_depth), padh(grad_mask),
             exposure_a, exposure_b, jnp.asarray(lrs, jnp.float32),
             jnp.asarray(plateau_rtol, jnp.float32),
+            jnp.asarray(lr_decay, jnp.float32),
         )
         from ..slam import losses as L
 

@@ -1122,16 +1122,38 @@ class BackEnd:
         # Write back window poses/exposures (host copies from the batched
         # transfer above).
         pose_opt_h, exp_opt_h = ctx["staged"][11], ctx["staged"][12]
+        self._commit_window_host(window, pose_opt_h, exp_opt_h,
+                                 new_r_h, new_t_h, new_ea_h, new_eb_h, occ_h)
+        return replayed
+
+    def _commit_window_host(self, window, pose_opt_h, exp_opt_h,
+                            new_r_h, new_t_h, new_ea_h, new_eb_h, occ_h):
+        """Write chunk-optimized window poses/exposures/visibility back to
+        the host cameras — dropping any non-finite update (mirror of the
+        frontend tracking guard): a keyframe whose valid pixels vanish once
+        the trajectory sweeps off the mapped scene NaNs its pose grads, and
+        a committed NaN here poisons the cv motion model AND every later
+        mapping window that re-optimizes this keyframe (observed: 300-frame
+        run, keyframes 118-134 went non-finite through this writeback while
+        tracking itself first broke at frame 135). `_stage_window` re-reads
+        host poses each chunk, so dropping the update self-heals the next
+        chunk."""
         for i, idx in enumerate(window):
             cam = self.viewpoints[idx]
             if pose_opt_h[i]:
-                cam.update_rt(new_r_h[i], new_t_h[i])
-            if exp_opt_h[i]:
+                if np.isfinite(new_r_h[i]).all() and np.isfinite(
+                        new_t_h[i]).all():
+                    cam.update_rt(new_r_h[i], new_t_h[i])
+                else:
+                    print(f"[backend] WARNING: non-finite mapped pose for "
+                          f"keyframe {idx}; keeping previous pose",
+                          flush=True)
+            if exp_opt_h[i] and np.isfinite(
+                    [new_ea_h[i], new_eb_h[i]]).all():
                 cam.exposure_a = float(new_ea_h[i])
                 cam.exposure_b = float(new_eb_h[i])
         for i, idx in enumerate(window):
             self.occ_aware_visibility[idx] = occ_h[i]
-        return replayed
 
     def _run_chunk(self, window, staged_window, rand_pool, n: int,
                    lang_run: bool, init_mode: bool, cadence: bool = True,

@@ -38,6 +38,7 @@ def tracking_run(
     view, proj, gt_image, gt_depth, grad_mask,
     exposure_a, exposure_b, lrs,
     plateau_rtol=0.0,
+    lr_decay=1.0,
     *, settings: RasterSettings, max_iters: int,
     alpha=0.95, rgb_threshold=0.01, plateau_patience: int = 5,
     keep_best: bool = False,
@@ -48,12 +49,33 @@ def tracking_run(
     round trips (which dominate through the remote device link).
 
     `plateau_rtol > 0` adds a loss-plateau exit: `plateau_patience`
-    CONSECUTIVE iterations with |Δloss| < rtol·loss end the loop. Adam's
+    CONSECUTIVE iterations without a meaningful new best loss
+    (loss < best·(1-rtol)) end the loop. Adam's
     step norm stays ~lr until momentum decays through gradient
     oscillation, so the reference's ‖tau‖ criterion rarely fires inside
     the budget (measured 62-84% budget exhaustion, PERF.md) even when the
     pose stopped improving dozens of iterations earlier; the plateau exit
     banks those iterations. 0.0 (default) preserves reference behavior.
+
+    `lr_decay < 1` (requires `plateau_rtol > 0`) turns the plateau
+    criterion into a reduce-lr-on-plateau schedule instead of an exit:
+    each time the loss plateaus for `plateau_patience` consecutive
+    iterations, every Adam step (pose AND exposure) is scaled by
+    lr_decay and the patience counter resets. Adam's bias-corrected step
+    stays ~lr-sized regardless of gradient magnitude, so with the
+    reference's FIXED lr the ‖tau‖ < 1e-4 exit can only fire through
+    momentum cancellation — measured 62-88% budget exhaustion on the
+    synthetic replica-scale scene, leaving ~lr-scale noise in every
+    committed pose (and, compounded over frames, the 120-frame ATE
+    blow-ups: 0.0229 static r4, 0.0582 cv+keep_best r5). Cutting lr only
+    ON plateau keeps the travel range unbounded while progress lasts (a
+    plain per-iteration exponential decay caps total displacement at
+    lr/(1-decay) — it froze short of the target on the unit toy), then
+    collapses the step geometrically so the ‖tau‖ exit fires and the
+    committed pose is the basin minimum rather than the last sample of
+    an lr-sized orbit. 1.0 (default) preserves reference behavior
+    (fixed-lr Adam; with plateau_rtol > 0 the plateau stays an EXIT, the
+    round-4 semantics).
 
     `keep_best=True` returns the argmin-loss (pose, exposure) over the
     loop instead of the last iterate. Adam's bias-corrected step is
@@ -94,10 +116,19 @@ def tracking_run(
     b1, b2, eps = 0.9, 0.999, 1e-8
 
     def body(state):
-        (view, ea, eb, m, v, t, _, loss_prev, ovf, dem, cnt, best) = state
+        (view, ea, eb, m, v, t, _, loss_prev, ovf, dem, cnt, lr_scale,
+         best) = state
         (loss, out), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2, 3), has_aux=True
         )(zeros3, zeros3, ea, eb, view)
+        # Plateau = no MEANINGFUL NEW BEST for `patience` consecutive
+        # iterations. Consecutive-iteration |Δloss| is the wrong signal:
+        # an iterate oscillating around the minimum keeps large deltas
+        # forever, so that criterion never fires exactly where the exit
+        # is needed (measured: 60/60 iters with rtol 0.01 on the unit
+        # toy). Improvement-vs-best is the standard
+        # reduce-lr-on-plateau test.
+        improved = loss < best[0] * (1 - plateau_rtol)
         # The loss just computed scores the CURRENT iterate (pre-step);
         # keep the running argmin (keep_best docstring).
         better = loss < best[0]
@@ -119,22 +150,26 @@ def tracking_run(
             mi = b1 * mi + (1 - b1) * g
             vi = b2 * vi + (1 - b2) * g * g
             steps.append(
-                -lr * (mi / (1 - b1**t)) / (jnp.sqrt(vi / (1 - b2**t)) + eps)
+                -lr * lr_scale * (mi / (1 - b1**t))
+                / (jnp.sqrt(vi / (1 - b2**t)) + eps)
             )
             new_m.append(mi)
             new_v.append(vi)
         trans_d, rot_d, d_ea, d_eb = steps
         tau = jnp.concatenate([trans_d, rot_d])
         view = lie.se3_exp(tau) @ view
-        plateau = jnp.abs(loss - loss_prev) < plateau_rtol * jnp.maximum(
-            loss_prev, 1e-12
-        )
-        cnt = jnp.where(plateau, cnt + 1, 0)
+        cnt = jnp.where(improved, 0, cnt + 1)
+        trigger = (plateau_rtol > 0) & (cnt >= plateau_patience)
+        # Reduce-lr-on-plateau (docstring): with lr_decay < 1 the plateau
+        # trigger CUTS the lr and resets patience instead of exiting.
+        cut = trigger & (lr_decay < 1)
+        lr_scale = jnp.where(cut, lr_scale * lr_decay, lr_scale)
+        cnt = jnp.where(cut, 0, cnt)
         converged = (jnp.linalg.norm(tau) < 1e-4) | (
-            (plateau_rtol > 0) & (cnt >= plateau_patience)
+            trigger & (lr_decay >= 1)
         )
         return (view, ea + d_ea, eb + d_eb, tuple(new_m), tuple(new_v), t,
-                converged, loss, ovf, dem, cnt, best)
+                converged, loss, ovf, dem, cnt, lr_scale, best)
 
     def cond(state):
         t, converged = state[5], state[6]
@@ -147,10 +182,10 @@ def tracking_run(
         (z3, z3, zs, zs), (z3, z3, zs, zs),
         jnp.zeros((), jnp.float32), jnp.array(False), jnp.zeros(()),
         jnp.array(False), jnp.zeros((), jnp.int32),
-        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32), jnp.ones((), jnp.float32),
         (jnp.full((), jnp.inf, jnp.float32), view, exposure_a, exposure_b),
     )
-    (view, ea, eb, _, _, n_iters, _, loss, ovf, dem, _,
+    (view, ea, eb, _, _, n_iters, _, loss, ovf, dem, _, _,
      best) = jax.lax.while_loop(cond, body, init)
     if keep_best:
         loss, view, ea, eb = best
@@ -193,6 +228,9 @@ class FrontEnd:
         # (reference parity: only the ‖tau‖ criterion).
         self.plateau_rtol = float(tr.get("tracking_plateau_rtol", 0.0))
         self.plateau_patience = int(tr.get("tracking_plateau_patience", 5))
+        # Per-iteration tracking lr decay (tracking_run docstring);
+        # 1.0 = off (reference parity: fixed-lr Adam).
+        self.lr_decay = float(tr.get("tracking_lr_decay", 1.0))
         # Commit the argmin-loss iterate instead of the last one
         # (tracking_run keep_best docstring); off = reference parity.
         self.keep_best = bool(tr.get("tracking_best_pose", False))
@@ -270,6 +308,7 @@ class FrontEnd:
                     cam.grad_mask, jnp.asarray(cam.exposure_a, jnp.float32),
                     jnp.asarray(cam.exposure_b, jnp.float32), lrs,
                     jnp.float32(self.plateau_rtol),
+                    jnp.float32(self.lr_decay),
                 )
             else:
                 t_disp = _time.time()
@@ -279,6 +318,7 @@ class FrontEnd:
                     cam.grad_mask, np.float32(cam.exposure_a),
                     np.float32(cam.exposure_b), lrs,
                     np.float32(self.plateau_rtol),
+                    np.float32(self.lr_decay),
                     settings=self.settings, max_iters=max_iters,
                     rgb_threshold=self.rgb_boundary_threshold,
                     plateau_patience=self.plateau_patience,

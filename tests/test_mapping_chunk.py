@@ -335,3 +335,50 @@ def test_chunk_live_masking_matches_shorter_program():
     assert bool(out_m[10]) == bool(out_s[10])
     assert bool(out_m[11]) == bool(out_s[11])
     assert int(out_m[12]) == int(out_s[12])  # peak instance demand
+
+
+def test_window_writeback_drops_nonfinite_poses():
+    """The backend's host writeback must never commit a non-finite
+    keyframe pose/exposure (mirror of the frontend tracking guard): on
+    the 300-frame hardware run, keyframes 118-134 went non-finite
+    through this writeback (NaN pose grads once a drifted keyframe's
+    valid pixels vanished) and poisoned the cv motion model. Finite
+    updates commit; non-finite ones keep the previous camera state and
+    still record visibility."""
+    from online_lang_splatting_tpu.slam.backend import BackEnd
+
+    class _Cam:
+        def __init__(self):
+            self.r = np.eye(3, dtype=np.float32)
+            self.t = np.zeros(3, np.float32)
+            self.exposure_a = 0.1
+            self.exposure_b = 0.2
+
+        def update_rt(self, r, t):
+            self.r, self.t = np.asarray(r), np.asarray(t)
+
+    be = BackEnd.__new__(BackEnd)
+    be.viewpoints = {0: _Cam(), 1: _Cam()}
+    be.occ_aware_visibility = {}
+    window = [0, 1]
+    good_r = np.tile(np.eye(3, dtype=np.float32), (2, 1, 1))
+    good_r[0] = 2 * np.eye(3)
+    new_t = np.ones((2, 3), np.float32)
+    new_t[1, 0] = np.nan  # keyframe 1's pose diverged
+    new_ea = np.array([0.5, np.inf], np.float32)
+    new_eb = np.array([0.6, 0.7], np.float32)
+    occ = [np.ones(4, bool), np.zeros(4, bool)]
+    be._commit_window_host(
+        window, np.array([True, True]), np.array([True, True]),
+        good_r, new_t, new_ea, new_eb, occ,
+    )
+    # Finite row committed.
+    assert np.allclose(be.viewpoints[0].r, 2 * np.eye(3))
+    assert np.allclose(be.viewpoints[0].t, 1.0)
+    assert be.viewpoints[0].exposure_a == 0.5
+    # Non-finite row dropped: previous pose/exposure kept.
+    assert np.allclose(be.viewpoints[1].r, np.eye(3))
+    assert np.allclose(be.viewpoints[1].t, 0.0)
+    assert be.viewpoints[1].exposure_a == 0.1
+    # Visibility recorded for both.
+    assert 0 in be.occ_aware_visibility and 1 in be.occ_aware_visibility

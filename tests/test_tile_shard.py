@@ -196,6 +196,70 @@ def test_tracking_keep_best_returns_argmin_iterate():
     np.testing.assert_allclose(float(loss), float(best[4]), rtol=1e-5)
 
 
+def test_tracking_lr_decay_parity_and_convergence():
+    """lr_decay=1.0 is bit-identical to the default (reference parity);
+    lr_decay<1 + plateau_rtol>0 = reduce-lr-on-plateau: full-lr travel
+    while the loss improves, then geometric step collapse so the
+    ‖tau‖<1e-4 exit fires before the budget — WITHOUT losing accuracy
+    vs fixed lr (a plain per-iteration decay caps total travel at
+    lr/(1-d) and froze short of the target on this exact toy)."""
+    import online_lang_splatting_tpu.ops.lie as lie
+    from online_lang_splatting_tpu.slam.frontend import tracking_run
+
+    (inputs, settings, proj, view, gt_image, gt_depth, grad_mask,
+     lrs) = _tracking_setup()
+    tau = jnp.asarray([0.01, -0.005, 0.008, 0.004, -0.003, 0.002],
+                      jnp.float32)
+    gt_view = np.asarray(lie.se3_exp(tau) @ view)
+
+    base = tracking_run(
+        inputs, view, proj, gt_image, gt_depth, grad_mask,
+        jnp.float32(0.0), jnp.float32(0.0), lrs,
+        settings=settings, max_iters=60,
+    )
+    one = tracking_run(
+        inputs, view, proj, gt_image, gt_depth, grad_mask,
+        jnp.float32(0.0), jnp.float32(0.0), lrs, jnp.float32(0.0),
+        jnp.float32(1.0), settings=settings, max_iters=60,
+    )
+    np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(one[0]))
+    assert int(base[3]) == int(one[3])
+
+    dec = tracking_run(
+        inputs, view, proj, gt_image, gt_depth, grad_mask,
+        jnp.float32(0.0), jnp.float32(0.0), lrs, jnp.float32(0.01),
+        jnp.float32(0.5), settings=settings, max_iters=60,
+    )
+    # Each plateau halves the step; a few cuts drive ‖tau‖ under 1e-4.
+    assert int(dec[3]) < 60, f"decay run used all {int(dec[3])} iters"
+    err_dec = np.linalg.norm(np.asarray(dec[0])[:3, 3] - gt_view[:3, 3])
+    err_base = np.linalg.norm(np.asarray(base[0])[:3, 3] - gt_view[:3, 3])
+    assert np.isfinite(err_dec)
+    assert err_dec <= err_base + 1e-4
+
+
+def test_banded_tracking_lr_decay_matches_single_device():
+    from online_lang_splatting_tpu.slam.frontend import tracking_run
+
+    (inputs, settings, proj, view, gt_image, gt_depth, grad_mask,
+     lrs) = _tracking_setup()
+    ref = tracking_run(
+        inputs, view, proj, gt_image, gt_depth, grad_mask,
+        jnp.float32(0.0), jnp.float32(0.0), lrs, jnp.float32(0.01),
+        jnp.float32(0.5), settings=settings, max_iters=25,
+    )
+    mesh = make_mesh(8)
+    banded_run = make_banded_tracking_run(mesh, settings, max_iters=25)
+    out = banded_run(
+        inputs, view, proj, gt_image, gt_depth, grad_mask,
+        jnp.float32(0.0), jnp.float32(0.0), lrs, jnp.float32(0.01),
+        jnp.float32(0.5),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(ref[0]), atol=1e-5)
+    assert int(out[3]) == int(ref[3])
+
+
 @pytest.mark.slow
 def test_banded_render_production_shapes():
     """Single-vs-8-device equivalence at PRODUCTION-like shapes: tile 32,

@@ -51,6 +51,10 @@ def main():
                     "plateau tracking exit; 0 = reference parity)")
     ap.add_argument("--tag", type=str, default=None,
                     help="label recorded in the result JSON")
+    ap.add_argument("--lr-decay", type=float, default=None,
+                    help="override Training.tracking_lr_decay (per-"
+                    "iteration tracking Adam lr decay; 1.0 = reference "
+                    "parity fixed lr)")
     ap.add_argument("--use-gt-pose", action="store_true",
                     help="track with ground-truth poses (drift diagnosis: "
                     "isolates mapping quality from tracking error)")
@@ -90,6 +94,8 @@ def main():
         config["Training"]["tracking_best_pose"] = args.track_best == "on"
     if args.plateau is not None:
         config["Training"]["tracking_plateau_rtol"] = args.plateau
+    if args.lr_decay is not None:
+        config["Training"]["tracking_lr_decay"] = args.lr_decay
     if args.use_gt_pose:
         config["Training"]["use_gt_pose"] = True
     t0 = time.time()
@@ -169,6 +175,9 @@ def main():
         ),
         "plateau_rtol": float(
             config["Training"].get("tracking_plateau_rtol", 0.0)
+        ),
+        "lr_decay": float(
+            config["Training"].get("tracking_lr_decay", 1.0)
         ),
         "blend_chunk": __import__(
             "online_lang_splatting_tpu.ops.raster.config",
