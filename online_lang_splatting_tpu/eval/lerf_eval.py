@@ -47,11 +47,18 @@ def activate_stream(
     relevancy: CLIPRelevancy,
     img_ann: dict,
     thresh: float = 0.5,
+    valid_map: np.ndarray | None = None,
 ):
-    """sem_map (levels, H, W, 768) → (per-query IoU list, chosen levels)."""
+    """sem_map (levels, H, W, 768) → (per-query IoU list, chosen levels).
+
+    `valid_map` (levels, prompts, H, W), if given, skips the relevancy
+    recompute — callers that also run `lerf_localization` on the same
+    frame compute it once (see `relevancy_from_code_map`)."""
     # np.array (copy): np.asarray of a device array is a READ-ONLY view,
     # and this function writes the blur blend back into valid_map.
-    valid_map = np.array(relevancy.get_max_across(sem_map))
+    if valid_map is None:
+        valid_map = relevancy.get_max_across(sem_map)
+    valid_map = np.array(valid_map)
     n_head, n_prompt, h, w = valid_map.shape
     chosen_iou, chosen_lvl = [], []
     for k in range(n_prompt):
@@ -77,9 +84,12 @@ def activate_stream(
 
 
 def lerf_localization(sem_map: np.ndarray, relevancy: CLIPRelevancy,
-                      img_ann: dict) -> int:
+                      img_ann: dict,
+                      valid_map: np.ndarray | None = None) -> int:
     """Count queries whose smoothed-relevancy argmax lies in a GT bbox."""
-    valid_map = np.asarray(relevancy.get_max_across(sem_map))
+    if valid_map is None:
+        valid_map = relevancy.get_max_across(sem_map)
+    valid_map = np.asarray(valid_map)
     n_head, n_prompt, h, w = valid_map.shape
     acc_num = 0
     positives = list(img_ann.keys())
@@ -115,6 +125,66 @@ def _resize_mask(mask, w, h):
     import cv2
 
     return cv2.resize(mask, (w, h))
+
+
+def make_fused_relevancy(decode_fn, block: int = 65536):
+    """One jitted chunked program: low-dim code map → CLIP decode →
+    all-prompt relevancy, (prompts, H, W) out. The (H·W, 768) CLIP map
+    never reaches the host: at replica scale it is 2.5 GB per frame, and
+    the unfused path additionally launched one EAGER (H·W, 768) matmul
+    per query per pass through the remote relay — the round-5 gated mIoU
+    run OOM-killed at 130 GB host RSS doing exactly that.
+
+    `decode_fn ((N, code) → (N, 768))` must be JAX-traceable (the
+    production AE decoders are); returns
+    `fn(flat_codes (N, code), relevancy, h, w) -> np (prompts, h, w)`.
+    One compile per (frame shape, prompt count); frames of a scene share
+    it."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(flat, pos, neg):
+        n_pos = pos.shape[0]
+        phrases_t = jnp.concatenate([pos, neg], axis=0).T  # (768, P+G)
+
+        def body(chunk):
+            emb = decode_fn(chunk)  # (B, 768)
+            out = emb @ phrases_t
+            p, g = out[:, :n_pos], out[:, n_pos:]
+            sims = jnp.stack(
+                [
+                    jnp.broadcast_to(p[:, :, None], (*p.shape, g.shape[1])),
+                    jnp.broadcast_to(g[:, None, :], (*p.shape, g.shape[1])),
+                ],
+                axis=-1,
+            )  # (B, P, G, 2) — pairwise softmax(10·sim), hardest negative
+            pos_prob = jax.nn.softmax(10 * sims, axis=-1)[..., 0]
+            return jnp.min(pos_prob, axis=-1)  # (B, P)
+
+        nb = flat.shape[0] // block
+        res = jax.lax.map(body, flat.reshape(nb, block, flat.shape[1]))
+        return res.reshape(-1, n_pos).T  # (P, N)
+
+    # Per-block-size jit cache (tiny test maps fit in one block; frames
+    # of a scene all land on the same size).
+    _runs = {block: run}
+
+    def fn(flat_codes: np.ndarray, relevancy: CLIPRelevancy, h: int,
+           w: int) -> np.ndarray:
+        n, c = flat_codes.shape
+        b = min(block, n)
+        if b not in _runs:
+            _runs[b] = make_fused_relevancy(decode_fn, block=b)._run
+        npad = -(-n // b) * b
+        padded = np.zeros((npad, c), np.float32)
+        padded[:n] = np.asarray(flat_codes, np.float32)
+        out = np.asarray(_runs[b](jnp.asarray(padded), relevancy.pos_embeds,
+                                  relevancy.neg_embeds))
+        return out[:, :n].reshape(-1, h, w)
+
+    fn._run = run
+    return fn
 
 
 def decode_lang_map(lang_map: np.ndarray, extractor, online_ae=None,
@@ -211,17 +281,40 @@ def evaluate_scene(
     anns = load_annotations(ann_path)
     iou_all, acc, total = [], 0, 0
     distinct, frames_scored = set(), 0
+
+    def _decode(flat):
+        z = online_ae.decode(flat) if online_ae is not None else flat
+        return extractor.decode_codes(z)
+
+    fused = make_fused_relevancy(_decode)
     for frame_name, img_ann in anns.items():
         f = lang_dir / f"{frame_name}.npy"
         if not f.exists():
             continue
         lang_map = np.load(f)
-        clip_map = decode_lang_map(lang_map, extractor, online_ae, eval_size)
-        sem_map = clip_map[None]  # single level
         relevancy.set_positives(list(img_ann.keys()))
-        ious, _ = activate_stream(sem_map, relevancy, img_ann, mask_thresh)
+        l, h, w = lang_map.shape
+        if (h, w) == tuple(eval_size):
+            # Fused decode→relevancy, computed ONCE per frame and shared
+            # by IoU + localization: the (H·W, 768) CLIP map never hits
+            # the host (2.5 GB/frame at replica scale — see
+            # make_fused_relevancy).
+            valid = fused(lang_map.reshape(l, -1).T, relevancy, h, w)[None]
+            sem_map = None
+        else:
+            # eval_size ≠ map size: the protocol resizes the DECODED
+            # 768-d map (bilinear in CLIP space), which the fused path
+            # cannot reproduce — keep the reference-exact order.
+            clip_map = decode_lang_map(
+                lang_map, extractor, online_ae, eval_size
+            )
+            sem_map = clip_map[None]  # single level
+            valid = None
+        ious, _ = activate_stream(sem_map, relevancy, img_ann, mask_thresh,
+                                  valid_map=valid)
         iou_all.extend(ious)
-        acc += lerf_localization(sem_map, relevancy, img_ann)
+        acc += lerf_localization(sem_map, relevancy, img_ann,
+                                 valid_map=valid)
         total += len(img_ann)
         distinct.update(img_ann.keys())
         frames_scored += 1
@@ -256,7 +349,16 @@ def evaluate_scene_multilevel(
     h, w = eval_size
     iou_all, acc, total = [], 0, 0
     distinct, frames_scored = set(), 0
+    # Fused decode→relevancy needs the standard embedding-based relevancy;
+    # custom relevancy objects (only get_max_across) take the unfused path.
+    can_fuse = hasattr(relevancy, "neg_embeds")
+    fused = make_fused_relevancy(decode_fn) if can_fuse else None
     for frame_name, img_ann in anns.items():
+        # This protocol resizes the CODE map before decoding
+        # (evaluate_langsplat.py semantics), so the fused decode→relevancy
+        # program is exact here — one (prompts, H, W) map per level, the
+        # (H·W, 768) CLIP map stays on device.
+        relevancy.set_positives(list(img_ann.keys()))
         levels = []
         for d in feat_dirs:
             f = d / f"{frame_name}.npy"
@@ -269,15 +371,26 @@ def evaluate_scene_multilevel(
                 arr = arr.transpose(1, 2, 0)
             if arr.shape[:2] != (h, w):
                 arr = cv2.resize(arr, (w, h), interpolation=cv2.INTER_LINEAR)
-            dec = np.asarray(decode_fn(arr.reshape(-1, arr.shape[-1])))
-            levels.append(dec.reshape(h, w, -1))
+            if fused is not None:
+                levels.append(
+                    fused(arr.reshape(-1, arr.shape[-1]), relevancy, h, w)
+                )
+            else:
+                dec = np.asarray(decode_fn(arr.reshape(-1, arr.shape[-1])))
+                levels.append(dec.reshape(h, w, -1))
         if len(levels) != len(feat_dirs):
             continue
-        sem_map = np.stack(levels)
-        relevancy.set_positives(list(img_ann.keys()))
-        ious, _ = activate_stream(sem_map, relevancy, img_ann, mask_thresh)
+        if fused is not None:
+            valid = np.stack(levels)  # (levels, prompts, H, W)
+            sem_map = None
+        else:
+            sem_map = np.stack(levels)  # (levels, H, W, 768)
+            valid = None
+        ious, _ = activate_stream(sem_map, relevancy, img_ann, mask_thresh,
+                                  valid_map=valid)
         iou_all.extend(ious)
-        acc += lerf_localization(sem_map, relevancy, img_ann)
+        acc += lerf_localization(sem_map, relevancy, img_ann,
+                                 valid_map=valid)
         total += len(img_ann)
         distinct.update(img_ann.keys())
         frames_scored += 1

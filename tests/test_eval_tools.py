@@ -210,3 +210,75 @@ class TestPly:
             np.asarray(params2.opacity[:n]), np.asarray(params.opacity[:n]),
             atol=1e-6,
         )
+
+
+class TestFusedRelevancy:
+    """The fused decode→relevancy path (make_fused_relevancy /
+    relevancy_all) must match the per-query get_relevancy loop exactly —
+    it replaces the eager path that OOM-killed the replica-scale gated
+    mIoU run (130 GB host RSS)."""
+
+    def _rel(self, rng, n_pos=3, d=16):
+        from online_lang_splatting_tpu.eval.relevancy import CLIPRelevancy
+
+        rel = CLIPRelevancy(
+            neg_embeds=rng.normal(size=(4, d)).astype(np.float32)
+        )
+        rel.set_positive_embeds(
+            rng.normal(size=(n_pos, d)).astype(np.float32),
+            [f"q{i}" for i in range(n_pos)],
+        )
+        return rel
+
+    def test_relevancy_all_matches_per_query(self):
+        rng = np.random.default_rng(3)
+        rel = self._rel(rng)
+        emb = jnp.asarray(rng.normal(size=(37, 16)), jnp.float32)
+        fused = np.asarray(rel.relevancy_all(emb))  # (P, N)
+        for j in range(3):
+            ref = np.asarray(rel.get_relevancy(emb, j))[:, 0]
+            np.testing.assert_allclose(fused[j], ref, rtol=1e-6, atol=1e-6)
+
+    def test_fused_map_matches_unfused(self):
+        from online_lang_splatting_tpu.eval.lerf_eval import (
+            make_fused_relevancy,
+        )
+
+        rng = np.random.default_rng(4)
+        rel = self._rel(rng)
+        # A linear "decoder" codes(5) → clip(16), jit-traceable.
+        W = jnp.asarray(rng.normal(size=(5, 16)), jnp.float32)
+        decode = lambda z: z @ W  # noqa: E731
+        h, w = 6, 9
+        codes = rng.normal(size=(h * w, 5)).astype(np.float32)
+        fused = make_fused_relevancy(decode, block=16)
+        got = fused(codes, rel, h, w)  # pads 54 → 64 (4 blocks of 16)
+        sem = np.asarray(jnp.asarray(codes) @ W).reshape(1, h, w, 16)
+        ref = np.asarray(rel.get_max_across(jnp.asarray(sem)))[0]
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_scores_match_with_and_without_valid_map(self):
+        from online_lang_splatting_tpu.eval.lerf_eval import (
+            activate_stream, lerf_localization,
+        )
+
+        rng = np.random.default_rng(5)
+        rel = self._rel(rng, n_pos=2)
+        h, w = 24, 32
+        sem = rng.normal(size=(1, h, w, 16)).astype(np.float32)
+        img_ann = {}
+        for k, name in enumerate(["q0", "q1"]):
+            mask = np.zeros((h, w), np.uint8)
+            mask[4 + k: 12 + k, 6: 20] = 1
+            img_ann[name] = {
+                "mask": mask,
+                "bboxes": np.array([[6, 4 + k, 19, 11 + k]]),
+            }
+        # positives q0/q1 already set via set_positive_embeds in _rel
+        valid = np.asarray(rel.get_max_across(jnp.asarray(sem)))
+        ious_a, _ = activate_stream(jnp.asarray(sem), rel, img_ann)
+        ious_b, _ = activate_stream(None, rel, img_ann, valid_map=valid)
+        np.testing.assert_allclose(ious_a, ious_b)
+        acc_a = lerf_localization(jnp.asarray(sem), rel, img_ann)
+        acc_b = lerf_localization(None, rel, img_ann, valid_map=valid)
+        assert acc_a == acc_b
